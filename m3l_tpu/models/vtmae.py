@@ -1,0 +1,319 @@
+"""VTMAE — multimodal masked autoencoder over a VTT encoder.
+
+Capability parity with the reference VTMAE (reference:
+models/pretrain_models.py:59-715), re-designed for XLA:
+
+* masking is argsort-of-uniform per modality with config-determined counts
+  (static shapes), one gather in, one inverse-permutation gather out — no
+  scatters (reference uses two scatters at :285-287);
+* the whole forward + loss is a pure function of (params, batch, PRNG key),
+  jit/grad-compatible;
+* positional tables (PositionalEncoding2D-layout sin/cos) are baked constants.
+
+Semantics preserved from the reference (documented quirks):
+* tactile reconstruction loss is weighted x10 (reference :320,338);
+* with ``early_conv_masking`` the loss covers ALL patches, not only masked
+  ones (reference :311-322) — this is the flagship default path;
+* mask-count split: ``num_masked = int(ratio*N)``; image gets
+  ``int(num_masked * N_img/N)``, each tactile sensor gets
+  ``(num_masked - masked_img) // num_tactiles`` (reference :223-227);
+* ``use_sincosmod_encodings=False`` falls back to the encoder's learned
+  ``pos_embedding[:, 1:]`` and a learned decoder position embedding
+  (reference :219,276-281).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..nn.early_cnn import EarlyCNN
+from ..nn.transformer import Transformer
+from ..ops.masking import ModalMask, gather_tokens, random_modal_masking, restore_tokens
+from ..ops.posenc import sincos_2d
+from .vtt import VTT
+
+
+class VTMAE(nnx.Module):
+    def __init__(
+        self,
+        encoder: VTT,
+        *,
+        decoder_dim: int,
+        masking_ratio: float = 0.75,
+        decoder_depth: int = 1,
+        decoder_heads: int = 8,
+        decoder_dim_head: int = 64,
+        early_conv_masking: bool = False,
+        use_sincosmod_encodings: bool = True,
+        dtype=jnp.float32,
+        rngs: nnx.Rngs,
+    ):
+        assert 0.0 < masking_ratio < 1.0, "masking ratio must be in (0, 1)"
+        c = encoder.config
+        self.encoder = encoder
+        self.config = c
+        self.dtype = dtype
+        self.masking_ratio = masking_ratio
+        self.early_conv_masking = early_conv_masking
+        self.use_sincosmod_encodings = use_sincosmod_encodings
+        self.decoder_dim = decoder_dim
+        enc_dim = c.dim
+
+        if early_conv_masking:
+            self.early_conv_vision = EarlyCNN(encoder.stacked_image_channels, enc_dim, kind="image", dtype=dtype, rngs=rngs)
+            self.early_conv_tactile = EarlyCNN(encoder.stacked_tactile_channels, enc_dim, kind="tactile", dtype=dtype, rngs=rngs)
+
+        self.enc_to_dec = (
+            nnx.Linear(enc_dim, decoder_dim, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+            if enc_dim != decoder_dim
+            else None
+        )
+        self.mask_token = nnx.Param(jax.random.normal(rngs.params(), (decoder_dim,), jnp.float32))
+        self.decoder = Transformer(decoder_dim, decoder_depth, decoder_heads, decoder_dim_head, decoder_dim * 4, dtype=dtype, rngs=rngs)
+        self.decoder_pos_emb = nnx.Embed(c.num_patches, decoder_dim, param_dtype=jnp.float32, rngs=rngs)
+        self.to_pixels = nnx.Linear(decoder_dim, c.image_patch_dim * c.frame_stack, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+        self.to_tactiles = nnx.Linear(decoder_dim, c.tactile_patch_dim * c.frame_stack, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+
+        # modality embeddings: row 0 = image, rows 1..num_tactiles = sensors
+        self.encoder_modality_embedding = nnx.Embed(1 + c.num_tactiles, enc_dim, param_dtype=jnp.float32, rngs=rngs)
+        self.decoder_modality_embedding = nnx.Embed(1 + c.num_tactiles, decoder_dim, param_dtype=jnp.float32, rngs=rngs)
+
+        # PositionalEncoding2D-layout sin/cos tables (constants)
+        igh, igw = c.image_grid
+        tgh, tgw = c.tactile_grid
+        self._img_pos_enc = nnx.data(sincos_2d(igh, igw, enc_dim)[None])  # (1, N_img, D)
+        self._img_pos_dec = nnx.data(sincos_2d(igh, igw, decoder_dim)[None])
+        tac_enc = sincos_2d(tgh, tgw, enc_dim)
+        tac_dec = sincos_2d(tgh, tgw, decoder_dim)
+        self._tac_pos_enc = nnx.data(jnp.tile(tac_enc, (c.num_tactiles, 1))[None] if c.num_tactiles else None)  # (1, N_tac, D)
+        self._tac_pos_dec = nnx.data(jnp.tile(tac_dec, (c.num_tactiles, 1))[None] if c.num_tactiles else None)
+
+    # ------------------------------------------------------------------ #
+    # token construction
+    # ------------------------------------------------------------------ #
+
+    def _tactile_inputs(self, x: dict) -> list[jnp.ndarray]:
+        return [x[f"tactile{i + 1}"] for i in range(self.config.num_tactiles)]
+
+    def _raw_patches(self, x: dict, use_vision: bool, use_tactile: bool):
+        """Per-modality raw pixel patches (loss targets)."""
+        c = self.config
+        image_patches = self.encoder.image_embed.to_patches(x["image"]) if use_vision else None
+        tactile_patches = None
+        if c.num_tactiles > 0 and use_tactile:
+            tactile_patches = jnp.concatenate(
+                [self.encoder.tactile_embed.to_patches(t) for t in self._tactile_inputs(x)], axis=1
+            )
+        return image_patches, tactile_patches
+
+    def _tokens(self, x: dict, use_vision: bool, use_tactile: bool, image_patches, tactile_patches) -> jnp.ndarray:
+        """Embed + add modality/positional encodings; concat modalities."""
+        c = self.config
+        parts = []
+        if use_vision:
+            if self.early_conv_masking:
+                img_tok = self.early_conv_vision(x["image"].astype(self.dtype))
+            else:
+                img_tok = self.encoder.image_embed(image_patches.astype(self.dtype))
+            if self.use_sincosmod_encodings:
+                img_tok = img_tok + self.encoder_modality_embedding(jnp.array(0))
+                img_tok = img_tok + self._img_pos_enc.astype(img_tok.dtype)
+            parts.append(img_tok)
+        if c.num_tactiles > 0 and use_tactile:
+            if self.early_conv_masking:
+                tac_tok = jnp.concatenate(
+                    [self.early_conv_tactile(t.astype(self.dtype)) for t in self._tactile_inputs(x)], axis=1
+                )
+            else:
+                tac_tok = self.encoder.tactile_embed(tactile_patches.astype(self.dtype))
+            if self.use_sincosmod_encodings:
+                nt = c.num_tactile_patches_per_sensor
+                mod = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(self.encoder_modality_embedding(jnp.array(1 + i)), (nt, c.dim))
+                        for i in range(c.num_tactiles)
+                    ],
+                    axis=0,
+                )
+                tac_tok = tac_tok + mod[None].astype(tac_tok.dtype)
+                tac_tok = tac_tok + self._tac_pos_enc.astype(tac_tok.dtype)
+            parts.append(tac_tok)
+        tokens = jnp.concatenate(parts, axis=1)
+        if not self.use_sincosmod_encodings:
+            n = tokens.shape[1]
+            tokens = tokens + self.encoder.pos_embedding[:, 1 : n + 1].astype(tokens.dtype)
+        return tokens
+
+    def _mask_counts(self, use_vision: bool, use_tactile: bool):
+        """Reference mask-count split (pretrain_models.py:223-227)."""
+        c = self.config
+        n_img = c.num_image_patches if use_vision else 0
+        n_tac_single = c.num_tactile_patches_per_sensor if (c.num_tactiles > 0 and use_tactile) else 0
+        n_tac = n_tac_single * c.num_tactiles if n_tac_single else 0
+        n = n_img + n_tac
+        num_masked = int(self.masking_ratio * n)
+        m_img = int(num_masked * (n_img / n)) if n else 0
+        m_tac = (num_masked - m_img) // c.num_tactiles if n_tac else 0
+        sizes = ([n_img] if n_img else []) + [n_tac_single] * (c.num_tactiles if n_tac else 0)
+        masked = ([m_img] if n_img else []) + [m_tac] * (c.num_tactiles if n_tac else 0)
+        return sizes, masked, n_img, n_tac
+
+    def _decoder_modpos(self, tokens: jnp.ndarray, use_vision: bool, use_tactile: bool) -> jnp.ndarray:
+        """Add decoder modality + sincos positional embeddings (restored order)."""
+        c = self.config
+        if not self.use_sincosmod_encodings:
+            return tokens
+        n_img = c.num_image_patches if use_vision else 0
+        parts = []
+        if use_vision:
+            img = tokens[:, :n_img] + self.decoder_modality_embedding(jnp.array(0)).astype(tokens.dtype)
+            img = img + self._img_pos_dec.astype(tokens.dtype)
+            parts.append(img)
+        if c.num_tactiles > 0 and use_tactile:
+            nt = c.num_tactile_patches_per_sensor
+            mod = jnp.concatenate(
+                [
+                    jnp.broadcast_to(self.decoder_modality_embedding(jnp.array(1 + i)), (nt, self.decoder_dim))
+                    for i in range(c.num_tactiles)
+                ],
+                axis=0,
+            )
+            tac = tokens[:, n_img:] + mod[None].astype(tokens.dtype)
+            tac = tac + self._tac_pos_dec.astype(tokens.dtype)
+            parts.append(tac)
+        return jnp.concatenate(parts, axis=1)
+
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+
+    def _decode(self, x: dict, key: jax.Array, use_vision: bool, use_tactile: bool, mask_counts):
+        """Shared masked encode->decode path. Returns (decoded, mask, targets)."""
+        sizes, masked, n_img, _ = mask_counts
+        image_patches, tactile_patches = self._raw_patches(x, use_vision, use_tactile)
+        tokens = self._tokens(x, use_vision, use_tactile, image_patches, tactile_patches)
+        batch = tokens.shape[0]
+
+        mask = random_modal_masking(key, batch, sizes, masked)
+        kept = gather_tokens(tokens, mask.unmasked_idx)
+        encoded = self.encoder.transformer(kept)
+        dec_tok = self.enc_to_dec(encoded) if self.enc_to_dec is not None else encoded
+
+        if not self.use_sincosmod_encodings:
+            combined_idx = jnp.concatenate([mask.unmasked_idx, mask.masked_idx], axis=1)
+            pos = self.decoder_pos_emb(combined_idx).astype(dec_tok.dtype)
+            m = mask.masked_idx.shape[1]
+            dec_tok = dec_tok + pos[:, : dec_tok.shape[1]]
+            mask_block = jnp.broadcast_to(self.mask_token.value.astype(dec_tok.dtype), (batch, m, self.decoder_dim))
+            combined = jnp.concatenate([dec_tok, mask_block + pos[:, dec_tok.shape[1] :]], axis=1)
+            full = gather_tokens(combined, mask.restore_idx)
+        else:
+            full = restore_tokens(dec_tok, self.mask_token.value.astype(dec_tok.dtype), mask)
+
+        full = self._decoder_modpos(full, use_vision, use_tactile)
+        decoded = self.decoder(full)
+        return decoded, mask, image_patches, tactile_patches, n_img
+
+    def __call__(self, x: dict, key: jax.Array, use_vision: bool = True, use_tactile: bool = True) -> jnp.ndarray:
+        """Masked-reconstruction loss (scalar). Reference forward :146-342."""
+        if "image" not in x:
+            use_vision = False
+        mask_counts = self._mask_counts(use_vision, use_tactile)
+        decoded, mask, image_patches, tactile_patches, n_img = self._decode(x, key, use_vision, use_tactile, mask_counts)
+        m_img = mask_counts[1][0] if use_vision else 0
+
+        loss = jnp.zeros((), jnp.float32)
+        if self.early_conv_masking:
+            if self.config.num_tactiles > 0 and use_tactile:
+                pred_tac = self.to_tactiles(decoded[:, n_img:])
+                loss = loss + 10.0 * jnp.mean((pred_tac.astype(jnp.float32) - tactile_patches.astype(jnp.float32)) ** 2)
+            if use_vision:
+                pred_img = self.to_pixels(decoded[:, :n_img])
+                loss = loss + jnp.mean((pred_img.astype(jnp.float32) - image_patches.astype(jnp.float32)) ** 2)
+        else:
+            if self.config.num_tactiles > 0 and use_tactile:
+                masked_tac_idx = mask.masked_idx[:, m_img:]
+                pred_tac = self.to_tactiles(gather_tokens(decoded, masked_tac_idx))
+                tgt_tac = gather_tokens(tactile_patches, masked_tac_idx - n_img)
+                loss = loss + 10.0 * jnp.mean((pred_tac.astype(jnp.float32) - tgt_tac.astype(jnp.float32)) ** 2)
+            if use_vision:
+                masked_img_idx = mask.masked_idx[:, :m_img]
+                pred_img = self.to_pixels(gather_tokens(decoded, masked_img_idx))
+                tgt_img = gather_tokens(image_patches, masked_img_idx)
+                loss = loss + jnp.mean((pred_img.astype(jnp.float32) - tgt_img.astype(jnp.float32)) ** 2)
+        return loss
+
+    def get_embeddings(self, x: dict, use_vision: bool = True, use_tactile: bool = True) -> jnp.ndarray:
+        """Unmasked full-sequence encoder features (reference :588-668)."""
+        if "image" not in x:
+            use_vision = False
+        image_patches, tactile_patches = self._raw_patches(x, use_vision, use_tactile)
+        tokens = self._tokens(x, use_vision, use_tactile, image_patches, tactile_patches)
+        return self.encoder.transformer(tokens)
+
+    def reconstruct(self, x: dict, key: jax.Array, mask_ratio: float | None = None, use_vision: bool = True, use_tactile: bool = True) -> dict:
+        """Visualization-oriented reconstruction (reference :344-586).
+
+        Returns per-modality reconstructed/masked images and recon losses.
+        Unlike the reference's forward, the mask count here is
+        ``int(ratio * N_modality)`` per modality (reference :425,433).
+        """
+        from ..ops.patches import unpatchify
+
+        c = self.config
+        if "image" not in x:
+            use_vision = False
+        ratio = self.masking_ratio if mask_ratio is None else mask_ratio
+        n_img = c.num_image_patches if use_vision else 0
+        n_tac_single = c.num_tactile_patches_per_sensor if (c.num_tactiles > 0 and use_tactile) else 0
+        m_img = int(ratio * n_img)
+        m_tac = int(ratio * n_tac_single * c.num_tactiles / c.num_tactiles) if n_tac_single else 0
+        sizes = ([n_img] if n_img else []) + [n_tac_single] * (c.num_tactiles if n_tac_single else 0)
+        masked = ([m_img] if n_img else []) + [m_tac] * (c.num_tactiles if n_tac_single else 0)
+        mask_counts = (sizes, masked, n_img, n_tac_single * c.num_tactiles)
+        decoded, mask, image_patches, tactile_patches, n_img = self._decode(x, key, use_vision, use_tactile, mask_counts)
+
+        out: dict = {}
+        igh, igw = c.image_grid
+        tgh, tgw = c.tactile_grid
+        ich = self.encoder.stacked_image_channels
+        tch = self.encoder.stacked_tactile_channels
+
+        def scatter_rows(base, idx, values):
+            return base.at[jnp.arange(base.shape[0])[:, None], idx].set(values)
+
+        if use_vision:
+            midx = mask.masked_idx[:, :m_img]
+            pred_img = self.to_pixels(gather_tokens(decoded, midx)).astype(jnp.float32)
+            if self.early_conv_masking:
+                pred_all = self.to_pixels(decoded[:, :n_img]).astype(jnp.float32)
+                out["recon_loss_image"] = jnp.mean((pred_all - image_patches) ** 2)
+                rec_patches = pred_all
+            else:
+                tgt = gather_tokens(image_patches, midx)
+                out["recon_loss_image"] = jnp.mean((pred_img - tgt) ** 2)
+                rec_patches = scatter_rows(image_patches, midx, pred_img)
+            masked_vis = scatter_rows(image_patches, midx, jnp.full_like(pred_img, 0.5))
+            out["image_rec"] = unpatchify(rec_patches, igh, igw, c.image_patch_size, c.image_patch_size, ich)
+            out["image_masked"] = unpatchify(masked_vis, igh, igw, c.image_patch_size, c.image_patch_size, ich)
+        if c.num_tactiles > 0 and use_tactile:
+            midx_t = mask.masked_idx[:, m_img:] - n_img
+            pred_t = self.to_tactiles(gather_tokens(decoded, mask.masked_idx[:, m_img:])).astype(jnp.float32)
+            if self.early_conv_masking:
+                pred_all_t = self.to_tactiles(decoded[:, n_img:]).astype(jnp.float32)
+                out["recon_loss_tactile"] = jnp.mean((pred_all_t - tactile_patches) ** 2)
+                rec_t = pred_all_t
+            else:
+                tgt_t = gather_tokens(tactile_patches, midx_t)
+                out["recon_loss_tactile"] = jnp.mean((pred_t - tgt_t) ** 2)
+                rec_t = scatter_rows(tactile_patches, midx_t, pred_t)
+            n_sens = c.num_tactiles
+            rec_t = rec_t.reshape(rec_t.shape[0] * n_sens, n_tac_single, -1)
+            tac_img = unpatchify(rec_t, tgh, tgw, c.tactile_patch_size, c.tactile_patch_size, tch)
+            out["tactile_rec"] = tac_img.reshape(-1, n_sens, *tac_img.shape[1:])
+            masked_t = scatter_rows(tactile_patches, midx_t, jnp.full_like(pred_t, jnp.inf))
+            masked_t = masked_t.reshape(masked_t.shape[0] * n_sens, n_tac_single, -1)
+            tac_m = unpatchify(masked_t, tgh, tgw, c.tactile_patch_size, c.tactile_patch_size, tch)
+            out["tactile_masked"] = tac_m.reshape(-1, n_sens, *tac_m.shape[1:])
+        return out

@@ -1,0 +1,78 @@
+"""Pre-norm ViT transformer stack (flax.nnx).
+
+Math contract matches the vit-pytorch ``Transformer`` the reference builds its
+VTT encoder and MAE decoder from (reference: models/pretrain_models.py:113,784
+via ``vit_pytorch.vit.Transformer``):
+
+* per block:  x = x + Attn(LN(x));  x = x + FF(LN(x))
+* Attention: fused qkv projection (no bias), per-head scaled dot-product,
+  output projection (with bias) unless heads==1 and dim_head==dim.
+* FeedForward: LN -> Linear -> GELU(exact) -> Linear.
+* final LayerNorm on the stack output.
+
+TPU notes: the qkv projection is one (D, 3*H*Dh) matmul feeding the MXU; the
+attention itself is plain XLA einsum — at the reference's sequence lengths
+(<=256 tokens) a flash-attention kernel buys nothing, XLA already keeps the
+(B, h, N, N) score tile in VMEM. Compute dtype is configurable (bfloat16 for
+throughput); parameters and LayerNorm statistics stay float32.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import nnx
+
+
+class Attention(nnx.Module):
+    def __init__(self, dim: int, heads: int, dim_head: int, *, dtype=jnp.float32, rngs: nnx.Rngs):
+        inner = heads * dim_head
+        self.heads = heads
+        self.dim_head = dim_head
+        self.scale = dim_head**-0.5
+        self.project_out = not (heads == 1 and dim_head == dim)
+        self.norm = nnx.LayerNorm(dim, epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+        self.to_qkv = nnx.Linear(dim, inner * 3, use_bias=False, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+        if self.project_out:
+            self.to_out = nnx.Linear(inner, dim, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, n, _ = x.shape
+        h, dh = self.heads, self.dim_head
+        x = self.norm(x)
+        qkv = self.to_qkv(x).reshape(b, n, 3, h, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, dh)
+        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.scale
+        attn = nnx.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, h * dh)
+        if self.project_out:
+            out = self.to_out(out)
+        return out
+
+
+class FeedForward(nnx.Module):
+    def __init__(self, dim: int, hidden_dim: int, *, dtype=jnp.float32, rngs: nnx.Rngs):
+        self.norm = nnx.LayerNorm(dim, epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+        self.fc1 = nnx.Linear(dim, hidden_dim, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+        self.fc2 = nnx.Linear(hidden_dim, dim, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # exact (erf) GELU, matching torch nn.GELU default
+        return self.fc2(nnx.gelu(self.fc1(self.norm(x)), approximate=False))
+
+
+class Transformer(nnx.Module):
+    """Depth-stacked pre-norm blocks with a final LayerNorm."""
+
+    def __init__(self, dim: int, depth: int, heads: int, dim_head: int, mlp_dim: int, *, dtype=jnp.float32, rngs: nnx.Rngs):
+        self.blocks = nnx.List(
+            [
+                nnx.List([Attention(dim, heads, dim_head, dtype=dtype, rngs=rngs), FeedForward(dim, mlp_dim, dtype=dtype, rngs=rngs)])
+                for _ in range(depth)
+            ]
+        )
+        self.norm = nnx.LayerNorm(dim, epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for attn, ff in self.blocks:
+            x = attn(x) + x
+            x = ff(x) + x
+        return self.norm(x)
