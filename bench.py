@@ -1,0 +1,236 @@
+"""Benchmark: joint MAE+PPO update throughput on the flagship M3L workload.
+
+Metric (BASELINE.json): obs-frames/sec/chip through the joint MAE+PPO update
+at the reference's default PPO workload shape (train.py:26-77): dim 256,
+depth 4, frame_stack 4, obs = 64x64x12 image + 2x(32x32x12) tactile,
+mask ratio 0.95, PPO batch 512.
+
+Baseline: the reference publishes no numbers (BASELINE.md), so the baseline
+here is the *reference execution strategy* run as faithfully as possible on
+the SAME chip: float32 compute (the reference never uses AMP), two separate
+backward passes per minibatch (MAE then PPO, ppo_mae.py:248-343), a separate
+optimizer step each, host-side per-minibatch vt_load tensor packing with a
+deepcopy (ppo_mae.py:258-260) and a per-minibatch host->device transfer of
+the packed float32 batch. `vs_baseline` = fused-TPU-native / reference-style.
+
+Prints ONE JSON line.
+"""
+from __future__ import annotations
+
+import copy
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+    from gymnasium.spaces import Box, Dict as DictSpace
+
+    from m3l_tpu.models import VTT, VTTConfig, VTMAE
+    from m3l_tpu.rl import ActorCritic, MAEFeatures, PPOMAE
+    from m3l_tpu.utils.obs import vt_load
+
+    FRAME_STACK = 4
+    N = 8192  # rollout samples benched (reference default buffer is 32768)
+    BATCH = 512
+    EPOCHS = 1  # per-sample cost is epoch-invariant; keeps bench < minutes
+    ACTION_DIM = 3
+
+    obs_space = DictSpace(
+        {
+            "image": Box(0, 255, (FRAME_STACK, 64, 64, 3), np.uint8),
+            "tactile": Box(-np.inf, np.inf, (FRAME_STACK, 6, 32, 32), np.float32),
+        }
+    )
+
+    class _SpacesOnlyEnv:
+        observation_space = obs_space
+        action_space = Box(-1.0, 1.0, (ACTION_DIM,), np.float32)
+        num_envs = 8
+
+    def build_policy(dtype):
+        rngs = nnx.Rngs(0)
+        cfg = VTTConfig(dim=256, depth=4, heads=4, mlp_dim=512, num_tactiles=2, frame_stack=FRAME_STACK)
+        mae = VTMAE(
+            VTT(cfg, dtype=dtype, rngs=rngs),
+            decoder_dim=256,
+            masking_ratio=0.95,
+            decoder_depth=3,
+            decoder_heads=4,
+            early_conv_masking=True,
+            dtype=dtype,
+            rngs=rngs,
+        )
+        feats = MAEFeatures(mae, 256, frame_stack=FRAME_STACK, dtype=dtype, rngs=rngs)
+        return ActorCritic(feats, 256, ACTION_DIM, dtype=dtype, rngs=rngs)
+
+    rng = np.random.default_rng(0)
+    host_obs = {
+        "image": rng.integers(0, 256, (N, FRAME_STACK, 64, 64, 3), dtype=np.uint8),
+        "tactile": rng.uniform(-1, 1, (N, FRAME_STACK, 6, 32, 32)).astype(np.float32),
+    }
+    host_actions = rng.normal(size=(N, ACTION_DIM)).astype(np.float32)
+    host_values = rng.normal(size=N).astype(np.float32)
+    host_logp = rng.normal(size=N).astype(np.float32)
+
+    # ------------------------------------------------------------------ #
+    # 1) TPU-native fused update (PPOMAE._train_phase, bf16 compute)
+    # ------------------------------------------------------------------ #
+    model = PPOMAE(
+        build_policy(jnp.bfloat16),
+        _SpacesOnlyEnv(),
+        n_steps=N // 8,
+        batch_size=BATCH,
+        n_epochs=EPOCHS,
+        frame_stack=FRAME_STACK,
+        verbose=0,
+    )
+    data = jax.device_put(
+        {
+            "obs": host_obs,
+            "actions": host_actions,
+            "values": host_values,
+            "log_probs": host_logp,
+        }
+    )
+    t_len, e_len = N // 8, 8
+    rewards = jax.device_put(rng.normal(size=(t_len, e_len)).astype(np.float32))
+    ep_starts = jax.device_put(np.zeros((t_len, e_len), np.float32))
+    last_values = jax.device_put(np.zeros(e_len, np.float32))
+    last_dones = jax.device_put(np.zeros(e_len, np.float32))
+
+    def run_fused():
+        out = model._train_phase(
+            model.mae_params,
+            model.other_params,
+            model.policy_opt_state,
+            model.mae_opt_state,
+            data,
+            rewards,
+            ep_starts,
+            last_values,
+            last_dones,
+            jax.random.PRNGKey(0),
+        )
+        (model.mae_params, model.other_params, model.policy_opt_state, model.mae_opt_state, metrics) = out
+        jax.block_until_ready(model.mae_params)
+        return metrics
+
+    print(f"# [{time.strftime('%H:%M:%S')}] compiling fused update...", file=sys.stderr)
+    run_fused()  # compile + warm
+    print(f"# [{time.strftime('%H:%M:%S')}] fused compiled, timing...", file=sys.stderr)
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        run_fused()
+    fused_time = (time.time() - t0) / reps
+    samples_per_update = EPOCHS * (N // BATCH) * BATCH
+    fused_fps = samples_per_update * FRAME_STACK / fused_time
+
+    # ------------------------------------------------------------------ #
+    # 2) reference-style baseline on the same chip (fp32, split passes,
+    #    host-side per-minibatch vt_load + transfer)
+    # ------------------------------------------------------------------ #
+    ref_policy = build_policy(jnp.float32)
+    mae_filter = nnx.All(nnx.Param, nnx.PathContains("mae"))
+    graphdef, mae_params, other_params, rest = nnx.split(ref_policy, mae_filter, nnx.Param, ...)
+    policy_tx = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(1e-4, eps=1e-5))
+    pol_opt = policy_tx.init((mae_params, other_params))
+
+    @jax.jit
+    def mae_grads(params, x, key):
+        mp, op = params
+        m = nnx.merge(graphdef, mp, op, rest)
+        return jax.value_and_grad(lambda mp_: nnx.merge(graphdef, mp_, op, rest).features.mae(x, key))(mp)
+
+    @jax.jit
+    def ppo_grads(params, x, actions, old_logp, old_values, adv, ret):
+        def loss_fn(p):
+            m = nnx.merge(graphdef, p[0], p[1], rest)
+            values, log_prob, entropy = m.evaluate_actions_packed(x, actions)
+            a = (adv - adv.mean()) / (jnp.std(adv, ddof=1) + 1e-8)
+            ratio = jnp.exp(log_prob - old_logp)
+            pl = -jnp.minimum(a * ratio, a * jnp.clip(ratio, 0.8, 1.2)).mean()
+            vl = jnp.mean((ret - values) ** 2)
+            el = -entropy.mean()
+            return pl + 0.5 * vl + 0.0 * el
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    @jax.jit
+    def apply_joint(params, pol_opt, mg, pg):
+        # reference joint mode: grads from both backwards accumulate, one step
+        grads = (jax.tree.map(lambda a, b: a + b, mg, pg[0]), pg[1])
+        upd, pol_opt = policy_tx.update(grads, pol_opt, params)
+        return optax.apply_updates(params, upd), pol_opt
+
+    def host_vt_load(mb_idx):
+        # mimic reference per-minibatch host work: slice, deepcopy, transpose,
+        # de-interleave, float32 pack (ppo_mae.py:236-260 + vt_load)
+        obs_mb = {k: v[mb_idx] for k, v in host_obs.items()}
+        obs_mb = copy.deepcopy(obs_mb)
+        img = obs_mb["image"].astype(np.float32) / 255.0
+        b, fs, h, w, c = img.shape
+        img = img.transpose(0, 2, 3, 1, 4).reshape(b, h, w, fs * c)
+        tac = obs_mb["tactile"].reshape(b, fs * 6, 32, 32)
+        idx = (np.arange(fs)[:, None] * 6 + np.arange(3)[None, :]).reshape(-1)
+        out = {"image": img}
+        for k in range(2):
+            sel = tac[:, idx + 3 * k].transpose(0, 2, 3, 1)
+            out[f"tactile{k + 1}"] = (sel + 1.0) / 2.0
+        return out
+
+    def run_refstyle():
+        nonlocal mae_params, other_params, pol_opt
+        perm = rng.permutation(N)
+        adv_all = rng.normal(size=N).astype(np.float32)
+        for mb in range(N // BATCH):
+            mb_idx = perm[mb * BATCH : (mb + 1) * BATCH]
+            x = jax.device_put(host_vt_load(mb_idx))  # per-minibatch transfer
+            _, mg = mae_grads((mae_params, other_params), x, jax.random.PRNGKey(mb))
+            _, pg = ppo_grads(
+                (mae_params, other_params),
+                x,
+                jax.device_put(host_actions[mb_idx]),
+                jax.device_put(host_logp[mb_idx]),
+                jax.device_put(host_values[mb_idx]),
+                jax.device_put(adv_all[mb_idx]),
+                jax.device_put(adv_all[mb_idx] + host_values[mb_idx]),
+            )
+            (mae_params, other_params), pol_opt = apply_joint((mae_params, other_params), pol_opt, mg, pg)
+        jax.block_until_ready(mae_params)
+
+    print(f"# [{time.strftime('%H:%M:%S')}] compiling reference-style baseline...", file=sys.stderr)
+    run_refstyle()  # compile + warm
+    print(f"# [{time.strftime('%H:%M:%S')}] reference-style compiled, timing...", file=sys.stderr)
+    t0 = time.time()
+    run_refstyle()
+    ref_time = time.time() - t0
+    ref_fps = (N // BATCH) * BATCH * FRAME_STACK / ref_time
+
+    print(
+        f"# fused(bf16): {fused_fps:,.0f} frames/s ({fused_time:.2f}s/{samples_per_update} samples) | "
+        f"reference-style(fp32): {ref_fps:,.0f} frames/s ({ref_time:.2f}s)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "joint_mae_ppo_update_obs_frames_per_sec_per_chip",
+                "value": round(fused_fps, 1),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fused_fps / ref_fps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

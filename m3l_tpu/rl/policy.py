@@ -54,7 +54,11 @@ class MAEFeatures(nnx.Module):
         self.post = Transformer(dim, depth=1, heads=4, dim_head=64, mlp_dim=dim * 2, dtype=dtype, rngs=rngs)
 
     def __call__(self, obs: dict) -> jnp.ndarray:
-        x = vt_load(obs, frame_stack=self.frame_stack)
+        return self.from_packed(vt_load(obs, frame_stack=self.frame_stack))
+
+    def from_packed(self, x: dict) -> jnp.ndarray:
+        """Features from an already vt_load-packed batch (lets the PPO update
+        pack once and share the batch between the MAE loss and the policy)."""
         emb = self.mae.get_embeddings(x, use_tactile=not self.vision_only_control)
         z = self.post(emb)
         return jnp.mean(z, axis=1)
@@ -82,11 +86,13 @@ class ActorCritic(nnx.Module):
         self.log_std = nnx.Param(jnp.full((action_dim,), log_std_init, jnp.float32))
 
     # --- distribution helpers (diagonal Gaussian) --- #
-    def _dist_params(self, obs: dict):
-        feats = self.features(obs)
+    def _heads(self, feats: jnp.ndarray):
         mean = self.action_net(self.pi_mlp(feats)).astype(jnp.float32)
         value = self.value_net(self.vf_mlp(feats)).astype(jnp.float32)[:, 0]
         return mean, self.log_std.value, value
+
+    def _dist_params(self, obs: dict):
+        return self._heads(self.features(obs))
 
     @staticmethod
     def _log_prob(actions, mean, log_std):
@@ -113,6 +119,10 @@ class ActorCritic(nnx.Module):
     def evaluate_actions(self, obs: dict, actions: jnp.ndarray):
         """(values, log_prob, entropy) for PPO update."""
         mean, log_std, value = self._dist_params(obs)
+        return value, self._log_prob(actions, mean, log_std), self._entropy(log_std, mean.shape[0])
+
+    def evaluate_actions_packed(self, x: dict, actions: jnp.ndarray):
+        mean, log_std, value = self._heads(self.features.from_packed(x))
         return value, self._log_prob(actions, mean, log_std), self._entropy(log_std, mean.shape[0])
 
     def predict_values(self, obs: dict) -> jnp.ndarray:

@@ -1,0 +1,419 @@
+"""PPO with interleaved MAE representation learning (the M3L flagship).
+
+Capability parity with the reference's PPO_MAE (reference:
+models/ppo_mae.py:24-385 and the SB3 OnPolicyAlgorithm it subclasses),
+re-architected for TPU:
+
+* The entire update phase (GAE + n_epochs x n_minibatches of fused
+  MAE-reconstruction + clipped-surrogate PPO) is ONE jitted function with a
+  ``lax.scan`` over minibatches and donated parameter/optimizer state. The
+  reference runs three Python-loop forward passes and two backward passes
+  per minibatch (MAE fwd+bwd, evaluate_actions fwd, PPO bwd) with per-batch
+  host tensor building (ppo_mae.py:248-343); here the batch is packed once
+  on device and both losses share one fused graph.
+* Joint mode (default, ``separate_optimizer=False``): one Adam step on
+  grad(mae_loss + ppo_loss) with a single global-norm clip — numerically the
+  reference's accumulate-two-backwards-then-step (:248-269,340-343).
+* Separate mode: per-minibatch MAE chunk updates (batch ``mae_batch_size``)
+  with a dedicated Adam(1e-4), then the PPO step on all policy params
+  (which include the MAE encoder, as in SB3 where the features extractor is
+  part of the policy) (:252-269).
+* KL early stop (``target_kl``): functional continue-flag gating inside the
+  scan — the offending minibatch does not apply its PPO update, later
+  minibatches are no-ops (reference :334-338).
+
+SB3 semantic parity notes: advantages normalized per-minibatch with ddof=1
+std; unclipped actions stored; truncated-episode value bootstrap applied to
+normalized rewards; reward normalization by running-return std
+(VecNormalize(norm_obs=False)).
+"""
+from __future__ import annotations
+
+import time
+from collections import deque
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from ..utils.obs import vt_load
+from .buffer import RolloutBuffer
+from .gae import compute_gae
+from .policy import ActorCritic
+from .vecnorm import RewardNormalizer
+
+
+class PPOMAE:
+    def __init__(
+        self,
+        policy: ActorCritic,
+        env,
+        *,
+        learning_rate: float = 1e-4,
+        n_steps: int = 2048,
+        batch_size: int = 512,
+        n_epochs: int = 10,
+        gamma: float = 0.99,
+        gae_lambda: float = 0.95,
+        clip_range: float = 0.2,
+        clip_range_vf: Optional[float] = None,
+        normalize_advantage: bool = True,
+        ent_coef: float = 0.0,
+        vf_coef: float = 0.5,
+        max_grad_norm: float = 0.5,
+        target_kl: Optional[float] = None,
+        mae_batch_size: int = 32,
+        separate_optimizer: bool = False,
+        mae_lr: float = 1e-4,
+        norm_reward: bool = True,
+        frame_stack: int = 1,
+        seed: int = 0,
+        verbose: int = 0,
+        mesh=None,
+    ):
+        self.env = env
+        self.n_envs = env.num_envs
+        self.n_steps = n_steps
+        self.n_epochs = n_epochs
+        self.gamma = gamma
+        self.gae_lambda = gae_lambda
+        self.clip_range = clip_range
+        self.clip_range_vf = clip_range_vf
+        self.normalize_advantage = normalize_advantage
+        self.ent_coef = ent_coef
+        self.vf_coef = vf_coef
+        self.max_grad_norm = max_grad_norm
+        self.target_kl = target_kl
+        self.mae_batch_size = mae_batch_size
+        self.separate_optimizer = separate_optimizer
+        self.frame_stack = frame_stack
+        self.verbose = verbose
+
+        n = n_steps * self.n_envs
+        if n % batch_size != 0:
+            # scan needs static minibatch shapes; truncate like SB3 warns about
+            batch_size = max(b for b in range(1, batch_size + 1) if n % b == 0)
+            if verbose:
+                print(f"[ppo_mae] batch_size adjusted to {batch_size} (buffer {n})")
+        self.batch_size = batch_size
+        self.n_minibatches = n // batch_size
+
+        # --- split the policy into (mae params, other params, constants) --- #
+        mae_filter = nnx.All(nnx.Param, nnx.PathContains("mae"))
+        self._graphdef, mae_params, other_params, self._rest = nnx.split(policy, mae_filter, nnx.Param, ...)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..train.mesh import shard_param_state
+
+            mae_params = shard_param_state(mae_params, mesh)
+            other_params = shard_param_state(other_params, mesh)
+        self.mae_params, self.other_params = mae_params, other_params
+
+        self._policy_tx = optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            optax.adam(learning_rate, eps=1e-5),  # SB3 ActorCriticPolicy Adam eps
+        )
+        self.policy_opt_state = self._policy_tx.init((self.mae_params, self.other_params))
+        self._mae_tx = optax.adam(mae_lr)  # reference mae_optimizer (ppo_mae.py:183)
+        self.mae_opt_state = self._mae_tx.init(self.mae_params) if separate_optimizer else ()
+
+        self.reward_normalizer = RewardNormalizer(self.n_envs, gamma=gamma, enabled=norm_reward)
+        self.buffer = RolloutBuffer(n_steps, self.n_envs, env.observation_space, env.action_space.shape[0])
+        self._action_low = env.action_space.low
+        self._action_high = env.action_space.high
+
+        self.num_timesteps = 0
+        self.iteration = 0
+        self.ep_info_buffer: deque = deque(maxlen=100)
+        self._key = jax.random.PRNGKey(seed)
+        self._last_obs = None
+        self._last_episode_starts = np.ones(self.n_envs, np.float32)
+
+        self._build_jits()
+
+    # ------------------------------------------------------------------ #
+    # jitted functions
+    # ------------------------------------------------------------------ #
+    def _build_jits(self):
+        graphdef, rest = self._graphdef, self._rest
+        frame_stack = self.frame_stack
+
+        @jax.jit
+        def policy_step(mae_params, other_params, obs, key):
+            model = nnx.merge(graphdef, mae_params, other_params, rest)
+            return model.step(obs, key)
+
+        @jax.jit
+        def predict_values(mae_params, other_params, obs):
+            model = nnx.merge(graphdef, mae_params, other_params, rest)
+            return model.predict_values(obs)
+
+        @jax.jit
+        def action_dist(mae_params, other_params, obs):
+            model = nnx.merge(graphdef, mae_params, other_params, rest)
+            return model._dist_params(obs)[0]
+
+        self._policy_step = policy_step
+        self._predict_values = predict_values
+        self._action_mean = action_dist
+
+        cfg = dict(
+            clip_range=self.clip_range,
+            clip_range_vf=self.clip_range_vf,
+            ent_coef=self.ent_coef,
+            vf_coef=self.vf_coef,
+            normalize_advantage=self.normalize_advantage,
+            target_kl=self.target_kl,
+        )
+
+        def ppo_losses(model, x, actions, old_values, old_log_prob, advantages, returns):
+            values, log_prob, entropy = model.evaluate_actions_packed(x, actions)
+            if cfg["normalize_advantage"]:
+                advantages = (advantages - advantages.mean()) / (jnp.std(advantages, ddof=1) + 1e-8)
+            ratio = jnp.exp(log_prob - old_log_prob)
+            pl1 = advantages * ratio
+            pl2 = advantages * jnp.clip(ratio, 1.0 - cfg["clip_range"], 1.0 + cfg["clip_range"])
+            policy_loss = -jnp.minimum(pl1, pl2).mean()
+            if cfg["clip_range_vf"] is None:
+                values_pred = values
+            else:
+                values_pred = old_values + jnp.clip(values - old_values, -cfg["clip_range_vf"], cfg["clip_range_vf"])
+            value_loss = jnp.mean((returns - values_pred) ** 2)
+            entropy_loss = -jnp.mean(entropy)
+            total = policy_loss + cfg["ent_coef"] * entropy_loss + cfg["vf_coef"] * value_loss
+            log_ratio = log_prob - old_log_prob
+            approx_kl = jnp.mean(jnp.exp(log_ratio) - 1.0 - log_ratio)
+            clip_frac = jnp.mean((jnp.abs(ratio - 1.0) > cfg["clip_range"]).astype(jnp.float32))
+            metrics = dict(
+                policy_loss=policy_loss,
+                value_loss=value_loss,
+                entropy_loss=entropy_loss,
+                approx_kl=approx_kl,
+                clip_fraction=clip_frac,
+                loss=total,
+            )
+            return total, metrics
+
+        separate = self.separate_optimizer
+        mae_bs = self.mae_batch_size
+        batch_size = self.batch_size
+        n_epochs, n_mb = self.n_epochs, self.n_minibatches
+        gamma, lam = self.gamma, self.gae_lambda
+        policy_tx, mae_tx = self._policy_tx, self._mae_tx
+        target_kl = self.target_kl
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def train_phase(mae_params, other_params, pol_opt, mae_opt, data, rewards, episode_starts, last_values, last_dones, key):
+            t_len, e_len = rewards.shape
+            values_te = data["values"].reshape(t_len, e_len)
+            adv, ret = compute_gae(rewards, values_te, episode_starts, last_values, last_dones, gamma, lam)
+            n = t_len * e_len
+            advantages_all = adv.reshape(n)
+            returns_all = ret.reshape(n)
+
+            def minibatch_update(carry, xs):
+                mae_params, other_params, pol_opt, mae_opt, cont = carry
+                mb_idx, mkey = xs
+                obs_mb = jax.tree.map(lambda v: v[mb_idx], data["obs"])
+                actions = data["actions"][mb_idx]
+                old_values = data["values"][mb_idx]
+                old_log_prob = data["log_probs"][mb_idx]
+                advantages = advantages_all[mb_idx]
+                returns = returns_all[mb_idx]
+                x = vt_load(obs_mb, frame_stack=frame_stack)
+
+                if separate:
+                    # MAE chunk updates with the dedicated optimizer (reference :252-266)
+                    n_iter = max(batch_size // mae_bs, 1)
+                    chunked = jax.tree.map(lambda v: v[: n_iter * mae_bs].reshape(n_iter, mae_bs, *v.shape[1:]), x)
+                    mae_keys = jax.random.split(mkey, n_iter)
+
+                    def mae_loss_chunk(mp, x_chunk, k):
+                        model = nnx.merge(graphdef, mp, other_params, rest)
+                        return model.features.mae(x_chunk, k)
+
+                    def mae_step(c, cxs):
+                        mp, mopt = c
+                        x_chunk, k = cxs
+                        ml, mg = jax.value_and_grad(mae_loss_chunk)(mp, x_chunk, k)
+                        mg = jax.tree.map(lambda g: g * cont.astype(g.dtype), mg)
+                        upd, mopt = mae_tx.update(mg, mopt, mp)
+                        mp = optax.apply_updates(mp, upd)
+                        return (mp, mopt), ml
+
+                    (mae_params, mae_opt), mls = jax.lax.scan(mae_step, (mae_params, mae_opt), (chunked, mae_keys))
+                    mae_loss_val = mls[-1]
+
+                    def total_loss(params):
+                        mp, op = params
+                        model = nnx.merge(graphdef, mp, op, rest)
+                        return ppo_losses(model, x, actions, old_values, old_log_prob, advantages, returns)
+
+                else:
+
+                    def total_loss(params):
+                        mp, op = params
+                        model = nnx.merge(graphdef, mp, op, rest)
+                        total, metrics = ppo_losses(model, x, actions, old_values, old_log_prob, advantages, returns)
+                        mae_loss = model.features.mae(x, mkey)
+                        metrics = dict(metrics, mae_loss=mae_loss)
+                        return total + mae_loss, metrics
+
+                (_, metrics), grads = jax.value_and_grad(total_loss, has_aux=True)((mae_params, other_params))
+                if separate:
+                    metrics = dict(metrics, mae_loss=mae_loss_val)
+                kl_ok = jnp.array(True) if target_kl is None else metrics["approx_kl"] <= 1.5 * target_kl
+                apply = jnp.logical_and(cont, kl_ok)
+                gmask = apply.astype(jnp.float32)
+                grads = jax.tree.map(lambda g: g * gmask, grads)
+                upd, new_pol_opt = policy_tx.update(grads, pol_opt, (mae_params, other_params))
+                new_params = optax.apply_updates((mae_params, other_params), upd)
+                mae_params, other_params = jax.tree.map(
+                    lambda new, old: jnp.where(gmask > 0, new, old), new_params, (mae_params, other_params)
+                )
+                pol_opt = jax.tree.map(lambda new, old: jnp.where(gmask > 0, new, old), new_pol_opt, pol_opt)
+                metrics = dict(metrics, executed=apply.astype(jnp.float32))
+                return (mae_params, other_params, pol_opt, mae_opt, apply), metrics
+
+            kperm, kmask = jax.random.split(key)
+            perms = jax.vmap(lambda k: jax.random.permutation(k, n))(jax.random.split(kperm, n_epochs))
+            idx = perms.reshape(n_epochs * n_mb, batch_size)
+            mask_keys = jax.random.split(kmask, n_epochs * n_mb)
+
+            init = (mae_params, other_params, pol_opt, mae_opt, jnp.array(True))
+            (mae_params, other_params, pol_opt, mae_opt, _), metrics = jax.lax.scan(
+                minibatch_update, init, (idx, mask_keys)
+            )
+            w = metrics.pop("executed")
+            denom = jnp.maximum(w.sum(), 1.0)
+            out = {k: (v * w).sum() / denom for k, v in metrics.items()}
+            out["n_updates_executed"] = w.sum()
+            var_ret = jnp.var(returns_all)
+            out["explained_variance"] = jnp.where(
+                var_ret > 0, 1.0 - jnp.var(returns_all - data["values"]) / var_ret, jnp.nan
+            )
+            return mae_params, other_params, pol_opt, mae_opt, out
+
+        self._train_phase = train_phase
+
+    # ------------------------------------------------------------------ #
+    # rollout collection (host loop, device inference)
+    # ------------------------------------------------------------------ #
+    def collect_rollouts(self) -> None:
+        if self._last_obs is None:
+            self._last_obs = self.env.reset()
+        self.buffer.reset()
+        while not self.buffer.full:
+            self._key, k = jax.random.split(self._key)
+            actions, values, log_probs = self._policy_step(self.mae_params, self.other_params, self._last_obs, k)
+            actions = np.asarray(actions)
+            clipped = np.clip(actions, self._action_low, self._action_high)
+            new_obs, rewards, dones, infos = self.env.step(clipped)
+            self.num_timesteps += self.n_envs
+
+            rewards = self.reward_normalizer(rewards, dones)
+            # truncated-episode bootstrap (SB3 OnPolicyAlgorithm semantics)
+            trunc_idx = [
+                i
+                for i, (d, info) in enumerate(zip(dones, infos))
+                if d and info.get("TimeLimit.truncated", False) and "terminal_observation" in info
+            ]
+            if trunc_idx:
+                term_obs = {
+                    k_: np.stack([infos[i]["terminal_observation"][k_] if i in trunc_idx else self._last_obs[k_][i] for i in range(self.n_envs)])
+                    for k_ in self._last_obs
+                }
+                term_values = np.asarray(self._predict_values(self.mae_params, self.other_params, term_obs))
+                for i in trunc_idx:
+                    rewards[i] += self.gamma * term_values[i]
+
+            for info in infos:
+                if "episode" in info:
+                    self.ep_info_buffer.append(info["episode"])
+
+            self.buffer.add(self._last_obs, actions, rewards, self._last_episode_starts, np.asarray(values), np.asarray(log_probs))
+            self._last_obs = new_obs
+            self._last_episode_starts = dones.astype(np.float32)
+
+    # ------------------------------------------------------------------ #
+    def train(self) -> dict:
+        data = self.buffer.to_device()
+        if self.mesh is not None:
+            from ..train.mesh import put_batch
+
+            data = put_batch(data, self.mesh)
+        last_values = self._predict_values(self.mae_params, self.other_params, self._last_obs)
+        self._key, k = jax.random.split(self._key)
+        (self.mae_params, self.other_params, self.policy_opt_state, self.mae_opt_state, metrics) = self._train_phase(
+            self.mae_params,
+            self.other_params,
+            self.policy_opt_state,
+            self.mae_opt_state,
+            data,
+            jax.device_put(self.buffer.rewards),
+            jax.device_put(self.buffer.episode_starts),
+            last_values,
+            jax.device_put(self._last_episode_starts),
+            k,
+        )
+        return {k_: float(v) for k_, v in metrics.items()}
+
+    def learn(self, total_timesteps: int, callback=None, log_interval: int = 1):
+        t_start = time.time()
+        while self.num_timesteps < total_timesteps:
+            t0 = time.time()
+            self.collect_rollouts()
+            t_collect = time.time() - t0
+            if callback is not None and callback(self) is False:
+                break
+            t0 = time.time()
+            metrics = self.train()
+            t_train = time.time() - t0
+            self.iteration += 1
+            if self.verbose and self.iteration % log_interval == 0:
+                ep_rew = np.mean([e["r"] for e in self.ep_info_buffer]) if self.ep_info_buffer else float("nan")
+                ep_len = np.mean([e["l"] for e in self.ep_info_buffer]) if self.ep_info_buffer else float("nan")
+                fps = int(self.num_timesteps / (time.time() - t_start))
+                print(
+                    f"[iter {self.iteration}] steps={self.num_timesteps} fps={fps} "
+                    f"ep_rew_mean={ep_rew:.2f} ep_len_mean={ep_len:.1f} "
+                    f"collect={t_collect:.1f}s train={t_train:.1f}s "
+                    + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+                )
+            self.last_metrics = metrics
+        return self
+
+    # ------------------------------------------------------------------ #
+    def predict(self, obs: dict, deterministic: bool = True) -> np.ndarray:
+        if deterministic:
+            mean = self._action_mean(self.mae_params, self.other_params, obs)
+            return np.clip(np.asarray(mean), self._action_low, self._action_high)
+        self._key, k = jax.random.split(self._key)
+        actions, _, _ = self._policy_step(self.mae_params, self.other_params, obs, k)
+        return np.clip(np.asarray(actions), self._action_low, self._action_high)
+
+    @property
+    def policy(self) -> ActorCritic:
+        return nnx.merge(self._graphdef, self.mae_params, self.other_params, self._rest)
+
+    def state_dict(self) -> dict:
+        return {
+            "mae_params": self.mae_params,
+            "other_params": self.other_params,
+            "policy_opt_state": self.policy_opt_state,
+            "mae_opt_state": self.mae_opt_state,
+            "reward_normalizer": self.reward_normalizer.state_dict(),
+            "num_timesteps": self.num_timesteps,
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self.mae_params = d["mae_params"]
+        self.other_params = d["other_params"]
+        self.policy_opt_state = d["policy_opt_state"]
+        self.mae_opt_state = d["mae_opt_state"]
+        self.reward_normalizer.load_state_dict(d["reward_normalizer"])
+        self.num_timesteps = int(d["num_timesteps"])
