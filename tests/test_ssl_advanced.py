@@ -1,0 +1,111 @@
+"""DINOv2 / I-JEPA / V-JEPA module tests (CPU, tiny models)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from m3l_tpu.models.vit import VisionTransformer, vit_predictor
+from m3l_tpu.ssl import DINOv2Module, IJEPAModule, VJEPAModule
+from m3l_tpu.train import Trainer
+
+
+def tiny_vit(registers=1, **kw):
+    defaults = dict(
+        img_size=(32, 32), patch_size=8, in_chans=3, embed_dim=32, depth=2, num_heads=2,
+        pos_embed_fn="sinusoidal", num_register_tokens=registers, rngs=nnx.Rngs(0),
+    )
+    defaults.update(kw)
+    return VisionTransformer(**defaults)
+
+
+def batches(n=2, b=4, shape=(32, 32, 3), seed=0):
+    rng = np.random.default_rng(seed)
+    return [{"image": rng.random((b, *shape), dtype=np.float32)} for _ in range(n)]
+
+
+@pytest.mark.parametrize("centering", ["centering", "sinkhorn_knopp"])
+def test_dinov2_trains(centering):
+    enc = tiny_vit(registers=1)
+    mod = DINOv2Module(
+        enc,
+        dino_out_dim=64,
+        dino_hidden_dim=32,
+        dino_bottleneck_dim=16,
+        num_global_masks=2,
+        num_local_masks=2,
+        koleo_weight=0.1,
+        centering=centering,
+        with_reconstruction_probe=False,
+        rngs=nnx.Rngs(1),
+    )
+    trainer = Trainer(max_epochs=1, verbose=0)
+    hist = trainer.fit(mod, batches())
+    assert np.isfinite(hist[-1]["train_loss"])
+    if centering == "centering":
+        assert float(jnp.abs(mod.center[...]).max()) > 0
+        assert float(jnp.abs(mod.ibot_center[...]).max()) > 0
+
+
+def test_dinov2_separate_ibot_head():
+    enc = tiny_vit(registers=1)
+    mod = DINOv2Module(
+        enc, dino_out_dim=64, dino_hidden_dim=32, dino_bottleneck_dim=16,
+        ibot_separate_head=True, ibot_out_dim=32, num_local_masks=2,
+        with_reconstruction_probe=False, rngs=nnx.Rngs(1),
+    )
+    loss, aux = mod.training_loss(jax.device_put(batches(1)[0]), jax.random.PRNGKey(0), jnp.asarray(0))
+    assert np.isfinite(float(loss))
+    assert float(aux["ibot_loss"]) != 0
+
+
+def test_ijepa_trains():
+    enc = tiny_vit(registers=0)
+    pred = vit_predictor(input_dim=32, patch_size=8, embed_dim=48, depth=1, num_heads=2, img_size=(32, 32), in_chans=3, num_mask_tokens=4, rngs=nnx.Rngs(3))
+    mod = IJEPAModule(enc, pred, num_target_masks=2, moving_average_decay=(0.99, 1.0), rngs=nnx.Rngs(4))
+    t0 = nnx.to_pure_dict(nnx.state(mod.target_encoder, nnx.Param))
+    trainer = Trainer(max_epochs=1, verbose=0)
+    hist = trainer.fit(mod, batches())
+    assert np.isfinite(hist[-1]["train_loss"])
+    # target EMA moved
+    t1 = nnx.to_pure_dict(nnx.state(mod.target_encoder, nnx.Param))
+    moved = [float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(jax.tree.leaves(t0), jax.tree.leaves(t1))]
+    assert max(moved) > 0
+
+
+def test_ijepa_context_excludes_targets():
+    enc = tiny_vit(registers=0)
+    pred = vit_predictor(input_dim=32, patch_size=8, embed_dim=48, depth=1, num_heads=2, img_size=(32, 32), in_chans=3, rngs=nnx.Rngs(0))
+    mod = IJEPAModule(enc, pred, rngs=nnx.Rngs(1))
+    ctx, targets = mod.sample_masks(jax.random.PRNGKey(0), 4)
+    ctx_np, tgt_np = np.asarray(ctx), np.asarray(targets)
+    overlap = ctx_np & tgt_np.any(0)
+    # either no overlap, or the all-cut fallback kicked in (ctx all True)
+    for b in range(4):
+        assert (not overlap[b].any()) or ctx_np[b].all()
+
+
+def test_vjepa_trains():
+    enc = VisionTransformer(
+        img_size=(32, 32), patch_size=8, num_frames=2, tubelet_size=2, in_chans=3,
+        embed_dim=32, depth=2, num_heads=2, pos_embed_fn="sinusoidal", rngs=nnx.Rngs(0),
+    )
+    pred = vit_predictor(
+        input_dim=32, patch_size=8, embed_dim=48, depth=1, num_heads=2,
+        img_size=(32, 32), in_chans=3, num_frames=2, tubelet_size=2, rngs=nnx.Rngs(1),
+    )
+    mod = VJEPAModule(enc, pred, mask_ratio=0.75, rngs=nnx.Rngs(2))
+    vids = [{"image": np.random.default_rng(0).random((2, 2, 32, 32, 3), dtype=np.float32)} for _ in range(2)]
+    trainer = Trainer(max_epochs=1, verbose=0)
+    hist = trainer.fit(mod, vids)
+    assert np.isfinite(hist[-1]["train_loss"])
+
+
+def test_vjepa_mask_indices_partition():
+    from m3l_tpu.ssl.vjepa import _mask_to_indices
+
+    keep = jnp.zeros((2, 8), bool).at[:, [0, 3, 5]].set(True)
+    idx = _mask_to_indices(keep, 3)
+    np.testing.assert_array_equal(np.asarray(idx), [[0, 3, 5], [0, 3, 5]])
+    inv = _mask_to_indices(~keep, 5)
+    np.testing.assert_array_equal(np.sort(np.asarray(inv)), [[1, 2, 4, 6, 7]] * 2)
