@@ -33,6 +33,8 @@ def make_env(
     no_rotation: bool = True,
     skip_frame: int = 2,
     allow_fake: bool = True,
+    image_size: int = 64,
+    tactile_size: int = 32,
     **kwargs,
 ):
     def _init():
@@ -71,7 +73,7 @@ def make_env(
             except ImportError:
                 if not allow_fake:
                     raise
-                env = FakeInsertionEnv(state_type=state_type, num_sensors=2, seed=seed + rank)
+                env = FakeInsertionEnv(state_type=state_type, num_sensors=2, seed=seed + rank, image_size=image_size, tactile_size=tactile_size)
             env = FrameStack(env, frame_stack)
         elif env_name in HAND_ENVS:
             try:
@@ -102,7 +104,7 @@ def make_env(
                 env = FakeInsertionEnv(state_type=state_type, num_sensors=1, action_dim=20, seed=seed + rank)
             env = FrameStack(env, frame_stack)
         elif env_name.startswith("Fake"):
-            env = FakeInsertionEnv(state_type=state_type, num_sensors=2, seed=seed + rank)
+            env = FakeInsertionEnv(state_type=state_type, num_sensors=2, seed=seed + rank, image_size=image_size, tactile_size=tactile_size)
             env = FrameStack(env, frame_stack)
         else:  # tactile_envs family (Insertion)
             try:
@@ -122,7 +124,7 @@ def make_env(
             except ImportError:
                 if not allow_fake:
                     raise
-                env = FakeInsertionEnv(state_type=state_type, num_sensors=2, seed=seed + rank)
+                env = FakeInsertionEnv(state_type=state_type, num_sensors=2, seed=seed + rank, image_size=image_size, tactile_size=tactile_size)
             env = FrameStack(env, frame_stack)
 
         np.random.seed(seed + rank)

@@ -11,3 +11,6 @@ from .vit import (  # noqa: F401
     vit_predictor,
     VIT_EMBED_DIMS,
 )
+from .multimodal_vtt import MultimodalVTT  # noqa: F401
+from .vtmae_cnn import VTMAECnn  # noqa: F401
+from .dinov2_interop import DINOv2Backbone, dinov2_vits14, load_torch_dinov2_state  # noqa: F401

@@ -114,6 +114,10 @@ class VTMAE(nnx.Module):
         if use_vision:
             if self.early_conv_masking:
                 img_tok = self.early_conv_vision(x["image"].astype(self.dtype))
+                assert img_tok.shape[1] == c.num_image_patches, (
+                    f"early-conv token grid ({img_tok.shape[1]}) must match the patch grid "
+                    f"({c.num_image_patches}); use patch sizes whose grid equals the conv output"
+                )
             else:
                 img_tok = self.encoder.image_embed(image_patches.astype(self.dtype))
             if self.use_sincosmod_encodings:

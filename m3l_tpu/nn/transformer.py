@@ -34,14 +34,17 @@ class Attention(nnx.Module):
         if self.project_out:
             self.to_out = nnx.Linear(inner, dim, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
         b, n, _ = x.shape
         h, dh = self.heads, self.dim_head
         x = self.norm(x)
         qkv = self.to_qkv(x).reshape(b, n, 3, h, dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, dh)
         scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.scale
-        attn = nnx.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+        scores = scores.astype(jnp.float32)
+        if key_mask is not None:
+            scores = scores + jnp.where(key_mask[:, None, None, :], 0.0, -1e30)
+        attn = nnx.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, h * dh)
         if self.project_out:
             out = self.to_out(out)
@@ -71,8 +74,8 @@ class Transformer(nnx.Module):
         )
         self.norm = nnx.LayerNorm(dim, epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
         for attn, ff in self.blocks:
-            x = attn(x) + x
+            x = attn(x, key_mask) + x
             x = ff(x) + x
         return self.norm(x)

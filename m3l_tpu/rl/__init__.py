@@ -6,3 +6,5 @@ from .ppo_mae import PPOMAE  # noqa: F401
 from .replay import ReplayBuffer  # noqa: F401
 from .sac_policy import SACActorCritic, Actor, Critic  # noqa: F401
 from .sac_mae import SACMAE  # noqa: F401
+from .frozen_features import FrozenEncoderFeatures  # noqa: F401
+from .dino_fusion_features import DinoCatMAEFeatures  # noqa: F401

@@ -63,6 +63,11 @@ class MAEFeatures(nnx.Module):
         z = self.post(emb)
         return jnp.mean(z, axis=1)
 
+    def mae_loss(self, x: dict, key: jax.Array) -> jnp.ndarray:
+        """Representation loss on a packed batch (PPO/SAC interleaved MAE
+        update). Variant extractors override the modality selection."""
+        return self.mae(x, key)
+
 
 class ActorCritic(nnx.Module):
     def __init__(

@@ -68,6 +68,7 @@ class PPOMAE:
         target_kl: Optional[float] = None,
         mae_batch_size: int = 32,
         separate_optimizer: bool = False,
+        train_mae: bool = True,
         mae_lr: float = 1e-4,
         norm_reward: bool = True,
         frame_stack: int = 1,
@@ -89,7 +90,11 @@ class PPOMAE:
         self.max_grad_norm = max_grad_norm
         self.target_kl = target_kl
         self.mae_batch_size = mae_batch_size
-        self.separate_optimizer = separate_optimizer
+        self.separate_optimizer = separate_optimizer and train_mae
+        # train_mae=False -> plain PPO over (possibly frozen) features,
+        # the reference PPO_DINO mode (models/ppo_dino.py:276-440, DINO
+        # updates disabled upstream)
+        self.train_mae = train_mae
         self.frame_stack = frame_stack
         self.verbose = verbose
 
@@ -199,6 +204,7 @@ class PPOMAE:
             return total, metrics
 
         separate = self.separate_optimizer
+        train_mae = self.train_mae
         mae_bs = self.mae_batch_size
         batch_size = self.batch_size
         n_epochs, n_mb = self.n_epochs, self.n_minibatches
@@ -234,7 +240,7 @@ class PPOMAE:
 
                     def mae_loss_chunk(mp, x_chunk, k):
                         model = nnx.merge(graphdef, mp, other_params, rest)
-                        return model.features.mae(x_chunk, k)
+                        return model.features.mae_loss(x_chunk, k)
 
                     def mae_step(c, cxs):
                         mp, mopt = c
@@ -259,7 +265,7 @@ class PPOMAE:
                         mp, op = params
                         model = nnx.merge(graphdef, mp, op, rest)
                         total, metrics = ppo_losses(model, x, actions, old_values, old_log_prob, advantages, returns)
-                        mae_loss = model.features.mae(x, mkey)
+                        mae_loss = model.features.mae_loss(x, mkey) if train_mae else jnp.zeros(())
                         metrics = dict(metrics, mae_loss=mae_loss)
                         return total + mae_loss, metrics
 

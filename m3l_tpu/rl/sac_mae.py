@@ -174,7 +174,7 @@ class SACMAE:
                     mp, mopt = c
                     x_chunk, kk = cxs
                     ml, mg = jax.value_and_grad(
-                        lambda mp_: merge(mp_, tgt_p, crit_p, ent_p, actor_p).features.mae(x_chunk, kk)
+                        lambda mp_: merge(mp_, tgt_p, crit_p, ent_p, actor_p).features.mae_loss(x_chunk, kk)
                     )(mp)
                     upd, mopt = mae_tx.update(mg, mopt, mp)
                     return (optax.apply_updates(mp, upd), mopt), ml
@@ -231,7 +231,7 @@ class SACMAE:
                 q_pi = jnp.min(model.critic(feats, a), axis=-1)
                 loss = jnp.mean(ent_coef * logp - q_pi)
                 if not separate:
-                    mloss = model.features.mae(x, k_mae)
+                    mloss = model.features.mae_loss(x, k_mae)
                     return loss + mloss, (loss, mloss)
                 return loss, (loss, jnp.zeros(()))
 

@@ -141,7 +141,7 @@ class DINOModule(SSLModule):
         return head(cls[:, 0]), out
 
     def forward_loss(self, x, global_masks, local_masks, teacher_temp):
-        b = x.shape[0]
+        b = (x["image"] if isinstance(x, dict) else x).shape[0]
         student_global, _ = self._cls_after_head(self.student_backbone, self.student_head, x, global_masks)
         student_local, _ = self._cls_after_head(self.student_backbone, self.student_head, x, local_masks)
         # (M*B, K) -> list of per-view (B, K), mask-major order
