@@ -1,0 +1,152 @@
+"""TacBench-style offline evaluation harness.
+
+Capability parity with the reference's evaluator directory (reference
+tactile_ssl/test/ — NOT unit tests; SURVEY.md §4 note): a ``TestTaskSL`` base
+(test_task.py:12-48) that batches a trained probe over a held-out dataset,
+caches ``.npy`` predictions, and computes per-task metrics:
+
+* T1 force (test_t1_force.py:66-122): per-axis RMSE +- std, Pearson r, and a
+  bootstrap 95% CI on the RMSE;
+* T2 slip / T4 grasp / T6 textile: accuracy, per-class precision/recall/F1,
+  confusion matrix;
+* T3 pose: per-head classification accuracy + expected bin error.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+
+class TestTaskSL:
+    __test__ = False  # not a pytest class (evaluation harness)
+    task_name = "task"
+
+    def __init__(self, module, *, cache_dir: Optional[str] = None, batch_keys=("image",)):
+        self.module = module
+        self.cache_dir = cache_dir
+        self.batch_keys = batch_keys
+        # one compiled program per batch shape (eager dispatch is pathologically
+        # slow on remote-attached TPUs)
+        from flax import nnx
+
+        self._jit_predict = nnx.jit(lambda m, *inputs: m.predict(*inputs))
+
+    # ------------------------------------------------------------------ #
+    def run_model(self, loader: Iterable[dict]) -> dict:
+        """Batch predictions over the dataset; returns {pred, **targets}."""
+        preds, targets = [], {}
+        for batch in loader:
+            inputs = [batch[k] for k in self.batch_keys]
+            y = self._jit_predict(self.module, *inputs)
+            preds.append(np.asarray(y) if not isinstance(y, dict) else {k: np.asarray(v) for k, v in y.items()})
+            for k, v in batch.items():
+                if k not in self.batch_keys:
+                    targets.setdefault(k, []).append(np.asarray(v))
+        if preds and isinstance(preds[0], dict):
+            pred = {k: np.concatenate([p[k] for p in preds]) for k in preds[0]}
+        else:
+            pred = np.concatenate(preds) if preds else np.zeros((0,))
+        out = {"pred": pred}
+        out.update({k: np.concatenate(v) for k, v in targets.items()})
+        if self.cache_dir:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            flat = pred if not isinstance(pred, dict) else pred
+            if isinstance(pred, dict):
+                for k, v in pred.items():
+                    np.save(os.path.join(self.cache_dir, f"{self.task_name}_pred_{k}.npy"), v)
+            else:
+                np.save(os.path.join(self.cache_dir, f"{self.task_name}_pred.npy"), pred)
+        return out
+
+    def get_overall_metrics(self, results: dict) -> dict:
+        raise NotImplementedError
+
+    def evaluate(self, loader) -> dict:
+        return self.get_overall_metrics(self.run_model(loader))
+
+
+def _pearson(a: np.ndarray, b: np.ndarray) -> float:
+    a, b = a - a.mean(), b - b.mean()
+    denom = np.sqrt((a**2).sum() * (b**2).sum())
+    return float((a * b).sum() / denom) if denom > 0 else float("nan")
+
+
+def _bootstrap_rmse_ci(err: np.ndarray, n_boot: int = 1000, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    n = len(err)
+    stats = np.sqrt(np.mean(err[rng.integers(0, n, (n_boot, n))] ** 2, axis=1))
+    return float(np.percentile(stats, 2.5)), float(np.percentile(stats, 97.5))
+
+
+class TestForceSL(TestTaskSL):
+    task_name = "t1_force"
+
+    def get_overall_metrics(self, results: dict) -> dict:
+        pred, gt = results["pred"], results["force"]
+        scale = results.get("force_scale", np.ones_like(gt))
+        pred, gt = pred * scale, gt * scale
+        metrics = {}
+        for i, axis in enumerate("xyz"):
+            err = pred[:, i] - gt[:, i]
+            rmse = float(np.sqrt(np.mean(err**2)))
+            lo, hi = _bootstrap_rmse_ci(err)
+            metrics[f"rmse_{axis}"] = rmse
+            metrics[f"rmse_{axis}_std"] = float(np.std(np.abs(err)))
+            metrics[f"rmse_{axis}_ci95"] = (lo, hi)
+            metrics[f"pearson_{axis}"] = _pearson(pred[:, i], gt[:, i])
+        metrics["rmse"] = float(np.sqrt(np.mean((pred - gt) ** 2)))
+        return metrics
+
+
+def classification_metrics(pred_labels: np.ndarray, gt_labels: np.ndarray, num_classes: int) -> dict:
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    for p, g in zip(pred_labels, gt_labels):
+        cm[g, p] += 1
+    tp = np.diag(cm).astype(np.float64)
+    precision = tp / np.clip(cm.sum(0), 1, None)
+    recall = tp / np.clip(cm.sum(1), 1, None)
+    f1 = 2 * precision * recall / np.clip(precision + recall, 1e-8, None)
+    return {
+        "accuracy": float(tp.sum() / max(cm.sum(), 1)),
+        "precision": precision.tolist(),
+        "recall": recall.tolist(),
+        "f1": f1.tolist(),
+        "macro_f1": float(f1.mean()),
+        "confusion": cm.tolist(),
+    }
+
+
+class TestSlipSL(TestTaskSL):
+    task_name = "t2_slip"
+    label_key = "slip"
+
+    def get_overall_metrics(self, results: dict) -> dict:
+        logits = results["pred"]
+        labels = results[self.label_key].astype(int)
+        return classification_metrics(np.argmax(logits, -1), labels, logits.shape[-1])
+
+
+class TestGraspSL(TestSlipSL):
+    task_name = "t4_grasp"
+    label_key = "grasp"
+
+
+class TestTextileSL(TestSlipSL):
+    task_name = "t6_textile"
+    label_key = "textile"
+
+
+class TestPoseSL(TestTaskSL):
+    task_name = "t3_pose"
+
+    def get_overall_metrics(self, results: dict) -> dict:
+        metrics = {}
+        for head in ("x", "y", "theta"):
+            logits = results["pred"][head]
+            labels = results[f"pose_{head}"].astype(int)
+            pred = np.argmax(logits, -1)
+            metrics[f"acc_{head}"] = float((pred == labels).mean())
+            metrics[f"bin_err_{head}"] = float(np.abs(pred - labels).mean())
+        return metrics
