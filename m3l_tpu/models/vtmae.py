@@ -209,11 +209,11 @@ class VTMAE(nnx.Module):
             pos = self.decoder_pos_emb(combined_idx).astype(dec_tok.dtype)
             m = mask.masked_idx.shape[1]
             dec_tok = dec_tok + pos[:, : dec_tok.shape[1]]
-            mask_block = jnp.broadcast_to(self.mask_token.value.astype(dec_tok.dtype), (batch, m, self.decoder_dim))
+            mask_block = jnp.broadcast_to(self.mask_token[...].astype(dec_tok.dtype), (batch, m, self.decoder_dim))
             combined = jnp.concatenate([dec_tok, mask_block + pos[:, dec_tok.shape[1] :]], axis=1)
             full = gather_tokens(combined, mask.restore_idx)
         else:
-            full = restore_tokens(dec_tok, self.mask_token.value.astype(dec_tok.dtype), mask)
+            full = restore_tokens(dec_tok, self.mask_token[...].astype(dec_tok.dtype), mask)
 
         full = self._decoder_modpos(full, use_vision, use_tactile)
         decoded = self.decoder(full)

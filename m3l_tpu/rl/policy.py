@@ -94,7 +94,7 @@ class ActorCritic(nnx.Module):
     def _heads(self, feats: jnp.ndarray):
         mean = self.action_net(self.pi_mlp(feats)).astype(jnp.float32)
         value = self.value_net(self.vf_mlp(feats)).astype(jnp.float32)[:, 0]
-        return mean, self.log_std.value, value
+        return mean, self.log_std[...], value
 
     def _dist_params(self, obs: dict):
         return self._heads(self.features(obs))

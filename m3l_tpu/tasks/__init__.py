@@ -2,3 +2,4 @@ from .attentive_pooler import AttentivePooler, AttentiveClassifier  # noqa: F401
 from .probes import ForceLinearProbe, SlipProbe, SlipForceProbe, PoseLinearProbe, GraspLinearProbe, TextileLinearProbe  # noqa: F401
 from .sl_module import SLModuleBase, EncoderWrapper, load_encoder_from_checkpoint  # noqa: F401
 from .modules import ForceSLModule, SlipSLModule, PoseSLModule, GraspSLModule, TextileSLModule  # noqa: F401
+from .forcefield import ForceFieldDecoder, ForceFieldModule, warp, ssim, photometric_loss  # noqa: F401
