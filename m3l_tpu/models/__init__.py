@@ -14,3 +14,5 @@ from .vit import (  # noqa: F401
 from .multimodal_vtt import MultimodalVTT  # noqa: F401
 from .vtmae_cnn import VTMAECnn  # noqa: F401
 from .dinov2_interop import DINOv2Backbone, dinov2_vits14, load_torch_dinov2_state  # noqa: F401
+from .multimodal_transformer import MultimodalTransformer, MultimodalMAEDecoder  # noqa: F401
+from .baselines import ResNet18Encoder, AlexNetEncoder  # noqa: F401

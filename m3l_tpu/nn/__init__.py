@@ -12,3 +12,4 @@ from .vit_layers import (  # noqa: F401
     PatchEmbed3D,
     SwiGLUFFN,
 )
+from .gumbel_vq import GumbelVectorQuantizer  # noqa: F401
