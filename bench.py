@@ -120,7 +120,9 @@ def main():
             jax.random.PRNGKey(0),
         )
         (model.mae_params, model.other_params, model.policy_opt_state, model.mae_opt_state, metrics) = out
-        jax.block_until_ready(model.mae_params)
+        # force a REAL device->host scalar readback: on remote-attached TPUs
+        # block_until_ready can return before execution finishes
+        float(metrics["mae_loss"])
         return metrics
 
     print(f"# [{time.strftime('%H:%M:%S')}] compiling fused update...", file=sys.stderr)
@@ -165,6 +167,10 @@ def main():
         return jax.value_and_grad(loss_fn)(params)
 
     @jax.jit
+    def _probe(params):
+        return jax.tree.leaves(params)[0].ravel()[0].astype(jnp.float32)
+
+    @jax.jit
     def apply_joint(params, pol_opt, mg, pg):
         # reference joint mode: grads from both backwards accumulate, one step
         grads = (jax.tree.map(lambda a, b: a + b, mg, pg[0]), pg[1])
@@ -191,10 +197,11 @@ def main():
         nonlocal mae_params, other_params, pol_opt
         perm = rng.permutation(N)
         adv_all = rng.normal(size=N).astype(np.float32)
+        mae_loss = None
         for mb in range(N // BATCH):
             mb_idx = perm[mb * BATCH : (mb + 1) * BATCH]
             x = jax.device_put(host_vt_load(mb_idx))  # per-minibatch transfer
-            _, mg = mae_grads((mae_params, other_params), x, jax.random.PRNGKey(mb))
+            mae_loss, mg = mae_grads((mae_params, other_params), x, jax.random.PRNGKey(mb))
             _, pg = ppo_grads(
                 (mae_params, other_params),
                 x,
@@ -205,7 +212,7 @@ def main():
                 jax.device_put(adv_all[mb_idx] + host_values[mb_idx]),
             )
             (mae_params, other_params), pol_opt = apply_joint((mae_params, other_params), pol_opt, mg, pg)
-        jax.block_until_ready(mae_params)
+        float(_probe((mae_params, other_params)))  # real readback sync (see run_fused note)
 
     print(f"# [{time.strftime('%H:%M:%S')}] compiling reference-style baseline...", file=sys.stderr)
     run_refstyle()  # compile + warm
