@@ -159,9 +159,18 @@ class SubprocVecEnv:
             p.join(timeout=5)
 
 
-def make_vec_env(env_fns: Sequence[Callable], subproc: bool = True):
-    """SubprocVecEnv below 100 envs, Sync above — mirroring the reference's
-    SubprocVecEnv/DummyVecEnv switch (train.py:122-125) with subproc opt-out."""
+def make_vec_env(env_fns: Sequence[Callable], subproc: bool = True, backend: str = "shm"):
+    """Process pool below 100 envs, Sync above — mirroring the reference's
+    SubprocVecEnv/DummyVecEnv switch (train.py:122-125). Default backend is
+    the zero-copy shared-memory pool (envs/shm_vec.py); ``backend="pipe"``
+    selects the classic pickling SubprocVecEnv."""
     if subproc and len(env_fns) < 100:
+        if backend == "shm":
+            try:
+                from .shm_vec import SharedMemoryVecEnv
+
+                return SharedMemoryVecEnv(env_fns)
+            except Exception:
+                pass  # fall back to pipes (e.g. dict-obs space unsupported)
         return SubprocVecEnv(env_fns)
     return SyncVecEnv(env_fns)
