@@ -67,6 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     parser.add_argument("--subproc", type=str2bool, default=True)
     parser.add_argument("--verbose", type=int, default=1)
+    parser.add_argument("--tensorboard_dir", type=str, default=None, help="enable TensorBoard logging")
     return parser
 
 
@@ -161,7 +162,17 @@ def main(argv=None):
     env = make_vec_env(env_fns, subproc=config.subproc)
     model = build_model(config, env)
     try:
-        model.learn(total_timesteps=config.total_timesteps)
+        callback = None
+        if config.tensorboard_dir:
+            from ..rl.callbacks import CallbackList, CheckpointCallback, TensorboardCallback
+            from ..utils.loggers import TensorBoardLogger
+
+            logger = TensorBoardLogger(config.tensorboard_dir)
+            callback = CallbackList([
+                TensorboardCallback(logger),
+                CheckpointCallback(config.save_freq, config.tensorboard_dir + "/checkpoints", save_replay_buffer=True),
+            ])
+        model.learn(total_timesteps=config.total_timesteps, callback=callback)
     finally:
         env.close()
     return model

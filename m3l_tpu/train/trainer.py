@@ -47,6 +47,9 @@ class Trainer:
         mesh=None,
         seed: int = 0,
         verbose: int = 1,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple[int, int] = (10, 15),
+        logger=None,
     ):
         self.max_epochs = max_epochs
         self.grad_accum_steps = grad_accum_steps
@@ -57,6 +60,11 @@ class Trainer:
         self.log_every = log_every_n_steps
         self.mesh = mesh
         self.verbose = verbose
+        # jax.profiler trace window (SURVEY.md §5: profiling via jax.profiler
+        # + step timers replaces the reference's ad-hoc time.time() prints)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self.logger = logger
         self.global_step = 0
         self.current_epoch = 0
         self._key = jax.random.PRNGKey(seed)
@@ -155,11 +163,19 @@ class Trainer:
                     break
                 batch = self._place(batch)
                 self._key, k = jax.random.split(self._key)
+                if self.profile_dir and self.global_step == self.profile_steps[0]:
+                    jax.profiler.start_trace(self.profile_dir)
                 loss, scalars = train_step(module, optimizer, batch, k, jnp.asarray(self.global_step))
+                if self.profile_dir and self.global_step == self.profile_steps[1]:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
                 self.global_step += 1
-                if self.verbose and self.global_step % self.log_every == 0:
+                if self.global_step % self.log_every == 0:
                     vals = {kk: float(vv) for kk, vv in scalars.items()}
-                    print(f"[trainer] epoch {self.current_epoch} step {self.global_step}: " + " ".join(f"{kk}={vv:.4f}" for kk, vv in vals.items()))
+                    if self.logger is not None:
+                        self.logger.log_scalars({f"train/{kk}": vv for kk, vv in vals.items()}, self.global_step)
+                    if self.verbose:
+                        print(f"[trainer] epoch {self.current_epoch} step {self.global_step}: " + " ".join(f"{kk}={vv:.4f}" for kk, vv in vals.items()))
                 epoch_losses.append(loss)
             epoch_loss = float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else float("nan")
 
