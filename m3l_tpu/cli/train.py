@@ -131,6 +131,9 @@ def build_model(config, env):
         n_epochs=config.ppo_epochs,
         mae_batch_size=config.mae_batch_size,
         separate_optimizer=config.separate_optimizer,
+        # --representation False = the reference's privileged plain-PPO branch
+        # (train.py:190-211): same policy, no MAE updates
+        train_mae=config.representation,
         norm_reward=config.norm_reward,
         frame_stack=config.frame_stack,
         seed=config.seed,

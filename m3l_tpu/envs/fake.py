@@ -85,7 +85,9 @@ class FakeInsertionEnv(gym.Env):
 
     def step(self, action):
         action = np.clip(np.asarray(action, np.float32), -1.0, 1.0)
-        self._pos = self._pos + 0.1 * action
+        # clamp the latent so the task stays observable (the blob position
+        # saturates at tanh(+-1.5)) and returns stay well-scaled
+        self._pos = np.clip(self._pos + 0.1 * action, -1.5, 1.5)
         self._t += 1
         dist = float(np.linalg.norm(self._pos - self._target))
         reward = -dist + (1.0 if dist < 0.1 else 0.0)
