@@ -37,14 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--env",
         type=str,
         default="tactile_envs/Insertion-v0",
-        choices=[
-            "tactile_envs/Insertion-v0",
-            "Door",
-            "HandManipulateBlockRotateZFixed-v1",
-            "HandManipulateEggRotateFixed-v1",
-            "HandManipulatePenRotateFixed-v1",
-            "FakeInsertion",
-        ],
+        help=(
+            "tactile_envs/Insertion-v0 | Door | HandManipulate*-v1 | "
+            "FakeInsertion | MuJoCoPixels/<any gymnasium MuJoCo id>"
+        ),
     )
     parser.add_argument("--n_envs", type=int, default=8)
     parser.add_argument("--state_type", type=str, default="vision_and_touch", choices=["vision", "touch", "vision_and_touch"])
@@ -86,7 +82,7 @@ def build_model(config, env):
     num_tactiles = 0
     if config.state_type in ("vision_and_touch", "touch"):
         num_tactiles = 2
-        if config.env.startswith("HandManipulate"):
+        if config.env.startswith(("HandManipulate", "MuJoCoPixels/")):
             num_tactiles = 1
 
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32

@@ -103,6 +103,17 @@ def make_env(
                     raise
                 env = FakeInsertionEnv(state_type=state_type, num_sensors=1, action_dim=20, seed=seed + rank)
             env = FrameStack(env, frame_stack)
+        elif env_name.startswith("MuJoCoPixels/"):
+            # pixels(+touch) over any installed gymnasium-MuJoCo env — the
+            # real-physics path (MuJoCo stepping + EGL offscreen render)
+            import os
+
+            os.environ.setdefault("MUJOCO_GL", "egl")
+            from .wrappers import RenderImageObservation
+
+            env = gym.make(env_name.split("/", 1)[1], render_mode="rgb_array", width=image_size, height=image_size)
+            env = RenderImageObservation(env, size=image_size, tactile_size=tactile_size, with_tactile=state_type != "vision")
+            env = FrameStack(env, frame_stack)
         elif env_name.startswith("Fake"):
             env = FakeInsertionEnv(state_type=state_type, num_sensors=2, seed=seed + rank, image_size=image_size, tactile_size=tactile_size)
             env = FrameStack(env, frame_stack)

@@ -92,6 +92,46 @@ def symlog(x: np.ndarray) -> np.ndarray:
     return np.sign(x) * np.log1p(np.abs(x))
 
 
+def read_touch_sensors(env) -> np.ndarray:
+    """All MuJoCo touch-sensor readings of an (unwrapped) env."""
+    model = getattr(env, "model", None)
+    data = getattr(env, "data", None)
+    if model is None or data is None:
+        return np.zeros(0, np.float32)
+    try:
+        import mujoco
+
+        vals = []
+        for i in range(model.nsensor):
+            if model.sensor_type[i] == mujoco.mjtSensor.mjSENS_TOUCH:
+                adr = model.sensor_adr[i]
+                vals.append(data.sensordata[adr])
+        return np.asarray(vals, np.float32)
+    except Exception:
+        return np.zeros(0, np.float32)
+
+
+def assemble_hand_tactile(vals: np.ndarray, size: int = 32) -> np.ndarray:
+    """Hand-shaped (3, size, size) tactile map from raw touch readings
+    (reference utils/add_tactile.py:81-97 layout intent), symlog-scaled."""
+    tac = np.zeros((3, size, size), np.float32)
+    if vals.size:
+        per_pad = max(1, vals.size // 16)
+        v = 0
+        for finger in range(5):
+            col = finger * 6 + 1
+            for pad in range(3):
+                row = pad * 4
+                chunk = vals[v : v + per_pad]
+                if chunk.size:
+                    tac[0, row : row + 4, col : col + 4] = chunk.mean()
+                v += per_pad
+        palm = vals[v:]
+        if palm.size:
+            tac[0, 20:, 8:24] = palm.mean()
+    return symlog(tac)
+
+
 class AddTactile(gym.ObservationWrapper):
     """Build a (3, 32, 32) tactile map from Shadow-hand touch sensors.
 
@@ -113,40 +153,46 @@ class AddTactile(gym.ObservationWrapper):
         self.observation_space = DictSpace(spaces)
 
     def _touch_values(self) -> np.ndarray:
-        model = getattr(self.unwrapped, "model", None)
-        data = getattr(self.unwrapped, "data", None)
-        if model is None or data is None:
-            return np.zeros(0, np.float32)
-        try:
-            import mujoco
-
-            vals = []
-            for i in range(model.nsensor):
-                if model.sensor_type[i] == mujoco.mjtSensor.mjSENS_TOUCH:
-                    adr = model.sensor_adr[i]
-                    vals.append(data.sensordata[adr])
-            return np.asarray(vals, np.float32)
-        except Exception:
-            return np.zeros(0, np.float32)
+        return read_touch_sensors(self.unwrapped)
 
     def observation(self, obs):
         obs = dict(obs)
-        tac = np.zeros((self.N_CHANNELS, self.SIZE, self.SIZE), np.float32)
-        vals = self._touch_values()
-        if vals.size:
-            # paste sensors into the hand layout: 5 finger columns x 3 pads + palm
-            per_pad = max(1, vals.size // 16)
-            v = 0
-            for finger in range(5):
-                col = finger * 6 + 1
-                for pad in range(3):
-                    row = pad * 4
-                    chunk = vals[v : v + per_pad]
-                    if chunk.size:
-                        tac[0, row : row + 4, col : col + 4] = chunk.mean()
-                    v += per_pad
-            palm = vals[v:]
-            if palm.size:
-                tac[0, 20:, 8:24] = palm.mean()
-        obs["tactile"] = symlog(tac)
+        obs["tactile"] = assemble_hand_tactile(self._touch_values(), self.SIZE)
         return obs
+
+
+class RenderImageObservation(gym.Wrapper):
+    """Add an 'image' key rendered off-screen (EGL) to any MuJoCo env, plus a
+    'tactile' key from the env's touch sensors when present (zeros otherwise)
+    — the generic pixels+touch pipeline the reference builds per env family
+    (envs/__init__.py:70-76 PixelObservationWrapper + ResizeDict + AddTactile).
+    Replaces the state observation entirely (pixel-only control)."""
+
+    def __init__(self, env: gym.Env, size: int = 64, tactile_size: int = 32, with_tactile: bool = True):
+        super().__init__(env)
+        self.size = size
+        self.tactile_size = tactile_size
+        self.with_tactile = with_tactile
+        spaces = {"image": Box(low=0, high=255, shape=(size, size, 3), dtype=np.uint8)}
+        if with_tactile:
+            spaces["tactile"] = Box(low=-np.inf, high=np.inf, shape=(3, tactile_size, tactile_size), dtype=np.float32)
+        self.observation_space = DictSpace(spaces)
+
+    def _obs(self):
+        import cv2
+
+        frame = self.env.render()
+        if frame.shape[0] != self.size:
+            frame = cv2.resize(frame, (self.size, self.size), interpolation=cv2.INTER_AREA)
+        obs = {"image": np.asarray(frame, np.uint8)}
+        if self.with_tactile:
+            obs["tactile"] = assemble_hand_tactile(read_touch_sensors(self.env.unwrapped), self.tactile_size)
+        return obs
+
+    def reset(self, **kwargs):
+        _, info = self.env.reset(**kwargs)
+        return self._obs(), info
+
+    def step(self, action):
+        _, reward, term, trunc, info = self.env.step(action)
+        return self._obs(), reward, term, trunc, info

@@ -1,0 +1,63 @@
+"""Real-MuJoCo env family (EGL render + touch sensors) + GSPMD equivalence."""
+import numpy as np
+import pytest
+
+
+def test_mujoco_pixels_env():
+    pytest.importorskip("mujoco")
+    import os
+
+    os.environ.setdefault("MUJOCO_GL", "egl")
+    from m3l_tpu.envs import make_env
+
+    env = make_env("MuJoCoPixels/Ant-v5", 0, 0, "vision_and_touch", frame_stack=2)()
+    obs, _ = env.reset(seed=0)
+    assert obs["image"].shape == (2, 64, 64, 3) and obs["image"].dtype == np.uint8
+    assert obs["tactile"].shape == (2, 3, 32, 32)
+    obs, r, term, trunc, info = env.step(env.action_space.sample())
+    assert np.isfinite(r)
+    env.close()
+
+
+def test_touch_helpers():
+    from m3l_tpu.envs.wrappers import assemble_hand_tactile
+
+    tac = assemble_hand_tactile(np.ones(17, np.float32), 32)
+    assert tac.shape == (3, 32, 32)
+    assert tac.max() > 0  # sensors landed in the layout
+    empty = assemble_hand_tactile(np.zeros(0, np.float32), 32)
+    assert (empty == 0).all()
+
+
+def test_dp_sharded_update_matches_single_device():
+    """GSPMD correctness: the fused PPO+MAE update on a 4-way dp mesh must
+    produce (numerically close) identical metrics to the unsharded run."""
+    import jax
+    from m3l_tpu.cli.train import build_model, build_parser
+    from m3l_tpu.envs import SyncVecEnv, make_env
+    from m3l_tpu.rl import PPOMAE
+    from m3l_tpu.train.mesh import make_mesh
+
+    argv = []
+    for k, v in dict(env="FakeInsertion", n_envs=4, rollout_length=64, batch_size=16, ppo_epochs=1,
+                     dim_embedding=32, frame_stack=1, mae_batch_size=8, compute_dtype="float32",
+                     subproc=False, verbose=0).items():
+        argv += [f"--{k}", str(v)]
+    config = build_parser().parse_args(argv)
+
+    def run(mesh):
+        env = SyncVecEnv([make_env(config.env, i, 0, config.state_type, frame_stack=1) for i in range(4)])
+        base = build_model(config, env)
+        model = PPOMAE(
+            base.policy, env, n_steps=16, batch_size=16, n_epochs=1, mae_batch_size=8,
+            frame_stack=1, seed=0, verbose=0, mesh=mesh,
+        )
+        model.collect_rollouts()
+        metrics = model.train()
+        env.close()
+        return metrics
+
+    m_single = run(None)
+    m_dp = run(make_mesh(4, mp=1))
+    for k in ("mae_loss", "policy_loss", "value_loss"):
+        np.testing.assert_allclose(m_single[k], m_dp[k], rtol=2e-3, atol=2e-4)
