@@ -83,6 +83,17 @@ def _bootstrap_rmse_ci(err: np.ndarray, n_boot: int = 1000, seed: int = 0):
 class TestForceSL(TestTaskSL):
     task_name = "t1_force"
 
+    def make_plots(self, results: dict) -> dict:
+        """Correlation + error plots (reference test_t1_force.py plotting +
+        force_sl.py:163-185). Returns RGB arrays keyed by plot name."""
+        from .plots import plot_correlation, plot_forces_error
+
+        pred, gt = results["pred"], results["force"]
+        scale = results.get("force_scale", np.ones_like(gt))
+        img_corr = plot_correlation(gt * scale, pred * scale)
+        img_err, img_cone = plot_forces_error(gt * scale, pred * scale)
+        return {"correlation": img_corr, "error": img_err, "error_cone": img_cone}
+
     def get_overall_metrics(self, results: dict) -> dict:
         pred, gt = results["pred"], results["force"]
         scale = results.get("force_scale", np.ones_like(gt))

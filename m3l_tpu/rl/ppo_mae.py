@@ -423,3 +423,44 @@ class PPOMAE:
         self.mae_opt_state = d["mae_opt_state"]
         self.reward_normalizer.load_state_dict(d["reward_normalizer"])
         self.num_timesteps = int(d["num_timesteps"])
+
+    def save(self, path: str) -> None:
+        """Persist model/optimizer/normalizer state (SB3 model.save +
+        CheckpointCallback save_vecnormalize parity, utils/callbacks.py:126-132)."""
+        import pickle
+
+        from ..train.checkpoint import save_checkpoint
+
+        sd = self.state_dict()
+        save_checkpoint(path, {k: v for k, v in sd.items() if k != "reward_normalizer"})
+        with open(path + ".vecnorm.pkl", "wb") as f:
+            pickle.dump(sd["reward_normalizer"], f)
+
+    def load(self, path: str) -> None:
+        """Restore a checkpoint written by :meth:`save` (or CheckpointCallback)
+        into this (architecture-compatible) instance."""
+        import os
+        import pickle
+
+        import jax
+
+        from ..train.checkpoint import load_checkpoint
+
+        payload = load_checkpoint(path)
+
+        def restore(template, pure):
+            flat_template = jax.tree.flatten(template)
+            leaves = jax.tree.leaves(pure)
+            assert len(leaves) == len(flat_template[0]), "checkpoint/model mismatch"
+            return jax.tree.unflatten(flat_template[1], [jnp.asarray(v) for v in leaves])
+
+        self.mae_params = restore(self.mae_params, payload["mae_params"])
+        self.other_params = restore(self.other_params, payload["other_params"])
+        self.policy_opt_state = restore(self.policy_opt_state, payload["policy_opt_state"])
+        if payload.get("mae_opt_state") is not None and self.mae_opt_state != ():
+            self.mae_opt_state = restore(self.mae_opt_state, payload["mae_opt_state"])
+        self.num_timesteps = int(payload["num_timesteps"])
+        vn = path + ".vecnorm.pkl"
+        if os.path.isfile(vn):
+            with open(vn, "rb") as f:
+                self.reward_normalizer.load_state_dict(pickle.load(f))

@@ -314,6 +314,55 @@ class SACMAE:
         self._n_updates += 1
         return {k_: float(v) for k_, v in metrics.items()}
 
+    def state_dict(self) -> dict:
+        return {
+            "mae_params": self.mae_params,
+            "target_params": self.target_params,
+            "critic_params": self.critic_params,
+            "ent_params": self.ent_params,
+            "actor_params": self.actor_params,
+            "actor_opt": self.actor_opt,
+            "critic_opt": self.critic_opt,
+            "ent_opt": self.ent_opt,
+            "mae_opt": self.mae_opt,
+            "reward_normalizer": self.reward_normalizer.state_dict(),
+            "num_timesteps": self.num_timesteps,
+        }
+
+    def save(self, path: str) -> None:
+        import pickle
+
+        from ..train.checkpoint import save_checkpoint
+
+        sd = self.state_dict()
+        save_checkpoint(path, {k: v for k, v in sd.items() if k != "reward_normalizer"})
+        with open(path + ".vecnorm.pkl", "wb") as f:
+            pickle.dump(sd["reward_normalizer"], f)
+
+    def load(self, path: str) -> None:
+        import os
+        import pickle
+
+        from ..train.checkpoint import load_checkpoint
+
+        payload = load_checkpoint(path)
+
+        def restore(template, pure):
+            flat_template = jax.tree.flatten(template)
+            leaves = jax.tree.leaves(pure)
+            assert len(leaves) == len(flat_template[0]), "checkpoint/model mismatch"
+            return jax.tree.unflatten(flat_template[1], [jnp.asarray(v) for v in leaves])
+
+        for name in ("mae_params", "target_params", "critic_params", "ent_params", "actor_params", "actor_opt", "critic_opt", "ent_opt"):
+            setattr(self, name, restore(getattr(self, name), payload[name]))
+        if payload.get("mae_opt") is not None and self.mae_opt != ():
+            self.mae_opt = restore(self.mae_opt, payload["mae_opt"])
+        self.num_timesteps = int(payload["num_timesteps"])
+        vn = path + ".vecnorm.pkl"
+        if os.path.isfile(vn):
+            with open(vn, "rb") as f:
+                self.reward_normalizer.load_state_dict(pickle.load(f))
+
     def predict(self, obs: dict, deterministic: bool = True) -> np.ndarray:
         if deterministic:
             a = np.asarray(self._predict_action(self._states, obs))

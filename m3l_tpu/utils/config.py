@@ -139,3 +139,28 @@ def instantiate(cfg: Any, **kwargs) -> Any:
     if partial:
         return functools.partial(target, **args)
     return target(**args)
+
+
+def print_config(cfg: dict, indent: int = 0) -> str:
+    """Pretty config tree (reference tactile_ssl/utils/logging.py:44-102
+    prints via rich; this is a dependency-free equivalent). Returns the
+    string and prints it."""
+    lines = []
+
+    def walk(node, depth):
+        pad = "  " * depth
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if isinstance(v, (dict, list)) and v:
+                    lines.append(f"{pad}{k}:")
+                    walk(v, depth + 1)
+                else:
+                    lines.append(f"{pad}{k}: {v}")
+        elif isinstance(node, list):
+            for v in node:
+                lines.append(f"{pad}- {v}")
+
+    walk(cfg, indent)
+    out = "\n".join(lines)
+    print(out)
+    return out
