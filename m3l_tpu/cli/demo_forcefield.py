@@ -70,7 +70,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import cv2
-    import jax
 
     enc = vit_tiny(patch_size=16, img_size=(args.size, args.size), in_chans=6, pos_embed_fn="sinusoidal", rngs=nnx.Rngs(0))
     dec = ForceFieldDecoder(enc, rngs=nnx.Rngs(1))

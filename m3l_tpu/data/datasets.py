@@ -16,9 +16,8 @@ transforms.
 """
 from __future__ import annotations
 
-import os
 import pickle
-from typing import Callable, Iterator, Optional, Sequence
+from typing import Callable, Iterator, Optional
 
 import numpy as np
 

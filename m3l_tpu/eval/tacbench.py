@@ -14,7 +14,7 @@ caches ``.npy`` predictions, and computes per-task metrics:
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, Optional
+from typing import Iterable, Optional
 
 import numpy as np
 

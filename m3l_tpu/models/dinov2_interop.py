@@ -17,8 +17,6 @@ PPO path stays functional, feature quality differs — documented).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,9 +22,7 @@ in two static-shape forms:
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Literal, Optional, Sequence
+from typing import Literal, Optional
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ from flax import nnx
 
 from ..nn.early_cnn import EarlyCNN
 from ..nn.transformer import Transformer
-from ..ops.masking import ModalMask, gather_tokens, random_modal_masking, restore_tokens
+from ..ops.masking import gather_tokens, random_modal_masking, restore_tokens
 from ..ops.posenc import sincos_2d
 from .vtt import VTT
 

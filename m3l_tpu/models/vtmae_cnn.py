@@ -15,7 +15,6 @@ both training and embeddings work end-to-end.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import nnx
 

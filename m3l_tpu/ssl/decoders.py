@@ -9,8 +9,6 @@ Capability parity with reference tactile_ssl/probe/reconstruction.py:
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import nnx

@@ -16,7 +16,7 @@ student's multi-mask forward is one batched pass with attention key-masking
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

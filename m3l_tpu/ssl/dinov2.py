@@ -16,7 +16,7 @@ center exactly the reference's gathered-token center).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

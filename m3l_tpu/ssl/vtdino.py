@@ -24,7 +24,6 @@ from ..nn.vit_layers import DINOHead
 from ..ops.patches import patchify
 from .decoders import DecoderViT
 from .dino import CenterState, DINOModule, _layer_norm
-from .losses import DINOLossState, dino_cross_entropy, softmax_center_teacher
 from .schedulers import teacher_temp_schedule
 
 
