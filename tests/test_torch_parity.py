@@ -83,3 +83,40 @@ def test_jax_torch_loss_parity():
 
     rel = abs(jax_loss - torch_loss) / max(abs(torch_loss), 1e-9)
     assert rel < 1e-4, f"jax={jax_loss} torch={torch_loss} rel={rel}"
+
+
+def test_policy_heads_parity():
+    """Action mean + value parity through the full extractor+heads path."""
+    from flax import nnx as _nnx
+
+    from m3l_tpu.rl import ActorCritic, MAEFeatures
+    from tests.torch_mirror import TorchMirrorPolicy
+
+    mae, cfg = build_mae()
+    rngs = _nnx.Rngs(5)
+    feats = MAEFeatures(mae, cfg.dim, frame_stack=1, rngs=rngs)
+    policy = ActorCritic(feats, cfg.dim, 3, rngs=rngs)
+
+    rng = np.random.default_rng(7)
+    batch = {
+        "image": rng.random((2, 64, 64, 3), dtype=np.float32),
+        "tactile1": rng.random((2, 32, 32, 3), dtype=np.float32),
+        "tactile2": rng.random((2, 32, 32, 3), dtype=np.float32),
+    }
+    x = {k: jnp.asarray(v) for k, v in batch.items()}
+    mean_jax, log_std, value_jax = policy._heads(policy.features.from_packed(x))
+
+    # flatten params with paths relative to the mirror's naming
+    params = {}
+    for path, var in nnx.to_flat_state(nnx.state(policy, nnx.Param)):
+        key = "/".join(str(p) for p in path)
+        key = key.replace("features/mae/", "").replace("features/post/", "post/")
+        params[key] = np.asarray(var.get_value() if hasattr(var, "get_value") else var)
+    pos_tables = {
+        "img_enc": np.asarray(mae._img_pos_enc)[0],
+        "tac_enc": np.asarray(mae._tac_pos_enc)[0],
+    }
+    mirror = TorchMirrorPolicy(params, cfg, masking_ratio=0.95, early_conv=True, decoder_depth=2, decoder_heads=2)
+    mean_t, value_t = mirror.policy_heads(batch, pos_tables, post_depth=1, post_heads=4)
+    np.testing.assert_allclose(np.asarray(mean_jax), mean_t.detach().numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(value_jax), value_t.detach().numpy(), rtol=2e-4, atol=2e-5)

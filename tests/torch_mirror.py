@@ -139,3 +139,39 @@ class TorchMirrorVTMAE:
         pred_tac = self.linear(decoded[:, n_img:], "to_tactiles")
         loss = 10.0 * F.mse_loss(pred_tac, tactile_patches) + F.mse_loss(pred_img, image_patches)
         return float(loss)
+
+
+class TorchMirrorPolicy(TorchMirrorVTMAE):
+    """Extends the mirror through the MAEExtractor + actor-critic heads
+    (reference models/pretrain_models.py:819-923): unmasked get_embeddings ->
+    depth-1 post transformer -> token mean-pool -> tanh MLP towers ->
+    action mean / value."""
+
+    def get_embeddings(self, batch: dict, pos_tables: dict) -> torch.Tensor:
+        c = self.c
+        img = t(batch["image"])
+        tacs = [t(batch[f"tactile{i + 1}"]) for i in range(c.num_tactiles)]
+        img_tok = self.early_cnn(img, "early_conv_vision", "image")
+        tac_tok = torch.cat([self.early_cnn(x, "early_conv_tactile", "tactile") for x in tacs], dim=1)
+        mod = self.p["encoder_modality_embedding/embedding"]
+        img_tok = img_tok + mod[0] + t(pos_tables["img_enc"])
+        nt = tac_tok.shape[1] // c.num_tactiles
+        for i in range(c.num_tactiles):
+            tac_tok[:, i * nt : (i + 1) * nt] += mod[1 + i]
+        tac_tok = tac_tok + t(pos_tables["tac_enc"])
+        tokens = torch.cat([img_tok, tac_tok], dim=1)
+        return self.transformer(tokens, "encoder/transformer", depth=c.depth, heads=c.heads)
+
+    def policy_heads(self, batch: dict, pos_tables: dict, post_depth: int = 1, post_heads: int = 4):
+        emb = self.get_embeddings(batch, pos_tables)
+        z = self.transformer(emb, "post", depth=post_depth, heads=post_heads)
+        feats = z.mean(dim=1)
+        h = feats
+        for i in range(2):
+            h = torch.tanh(self.linear(h, f"pi_mlp/layers/{i}"))
+        mean = self.linear(h, "action_net")
+        v = feats
+        for i in range(2):
+            v = torch.tanh(self.linear(v, f"vf_mlp/layers/{i}"))
+        value = self.linear(v, "value_net")[:, 0]
+        return mean, value
