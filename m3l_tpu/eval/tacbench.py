@@ -63,6 +63,29 @@ class TestTaskSL:
     def get_overall_metrics(self, results: dict) -> dict:
         raise NotImplementedError
 
+    def make_video(self, loader, path: str, max_frames: int = 100, fps: int = 10) -> str:
+        """Annotated prediction video over the eval set (reference
+        test_task.py make_video): each input frame captioned with the probe's
+        prediction vs ground truth."""
+        from ..utils.video import annotate_frame, write_video
+
+        frames = []
+        for batch in loader:
+            inputs = [batch[k] for k in self.batch_keys]
+            pred = np.asarray(self._jit_predict(self.module, *inputs))
+            imgs = np.asarray(batch["image"])[..., :3]  # first 3 channels
+            for j in range(imgs.shape[0]):
+                if len(frames) >= max_frames:
+                    break
+                info = {"pred": float(np.ravel(pred[j])[0]) if not isinstance(pred, dict) else 0.0}
+                for k, v in batch.items():
+                    if k not in self.batch_keys and np.ndim(v[j]) <= 1:
+                        info[k] = float(np.ravel(v[j])[0])
+                frames.append(annotate_frame(len(frames), imgs[j], 0.0, info))
+            if len(frames) >= max_frames:
+                break
+        return write_video(frames, path, fps=fps)
+
     def evaluate(self, loader) -> dict:
         return self.get_overall_metrics(self.run_model(loader))
 

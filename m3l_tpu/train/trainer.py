@@ -88,19 +88,26 @@ class Trainer:
             except (ValueError, OSError):
                 pass  # not in main thread
 
-    def _save(self, module, optimizer, name: str):
+    def _save(self, module, optimizer, name: str, trainable_only: bool = False):
         if self.ckpt_dir is None:
             return
         os.makedirs(self.ckpt_dir, exist_ok=True)
-        save_checkpoint(
-            os.path.join(self.ckpt_dir, name),
-            {
+        if trainable_only:
+            # probe-weights-only task checkpoints (reference
+            # trainer.py:588-593 saves just the probe for task ckpts)
+            payload = {
+                "model": nnx.state(module, getattr(module, "trainable_filter", nnx.Param)),
+                "global_step": self.global_step,
+                "current_epoch": self.current_epoch,
+            }
+        else:
+            payload = {
                 "model": nnx.state(module),
                 "opt": nnx.state(optimizer),
                 "global_step": self.global_step,
                 "current_epoch": self.current_epoch,
-            },
-        )
+            }
+        save_checkpoint(os.path.join(self.ckpt_dir, name), payload)
 
     def _try_resume(self, module, optimizer) -> bool:
         if self.ckpt_dir is None:
@@ -197,7 +204,7 @@ class Trainer:
             if self.save_every and self.current_epoch % self.save_every == 0:
                 self._save(module, optimizer, f"epoch-{self.current_epoch:04d}.ckpt")
             if self.current_epoch in self.task_ckpt_epochs:
-                self._save(module, optimizer, f"task-{self.current_epoch:04d}.ckpt")
+                self._save(module, optimizer, f"task-{self.current_epoch:04d}.ckpt", trainable_only=True)
         return history
 
     def _place(self, batch):
