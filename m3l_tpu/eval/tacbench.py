@@ -142,8 +142,12 @@ def classification_metrics(pred_labels: np.ndarray, gt_labels: np.ndarray, num_c
     precision = tp / np.clip(cm.sum(0), 1, None)
     recall = tp / np.clip(cm.sum(1), 1, None)
     f1 = 2 * precision * recall / np.clip(precision + recall, 1e-8, None)
+    # balanced accuracy = mean per-class recall (reference test_t2_slip.py:143)
+    present = cm.sum(1) > 0
+    balanced = float(recall[present].mean()) if present.any() else float("nan")
     return {
         "accuracy": float(tp.sum() / max(cm.sum(), 1)),
+        "balanced_accuracy": balanced,
         "precision": precision.tolist(),
         "recall": recall.tolist(),
         "f1": f1.tolist(),

@@ -47,4 +47,10 @@ def pytest_configure(config):
     env["PYTHONPATH"] = ":".join(pythonpath)
     sys.stdout.flush()
     sys.stderr.flush()
-    os.execvpe(sys.executable, [sys.executable, "-m", "pytest", *config.invocation_params.args], env)
+    # run the real suite as a child sharing our (now uncaptured) stdio, then
+    # exit with its code — more robust than execvpe, whose stdout can end up
+    # in pytest's already-duplicated capture fds
+    import subprocess
+
+    proc = subprocess.run([sys.executable, "-m", "pytest", *config.invocation_params.args], env=env)
+    os._exit(proc.returncode)
