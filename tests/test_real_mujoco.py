@@ -4,19 +4,34 @@ import pytest
 
 
 def test_mujoco_pixels_env():
+    """EGL rendering must run in a clean subprocess: initializing an EGL
+    context inside the test process segfaults once TF/torch have loaded
+    their own GL stacks (observed under the full suite)."""
     pytest.importorskip("mujoco")
     import os
+    import subprocess
+    import sys
 
-    os.environ.setdefault("MUJOCO_GL", "egl")
-    from m3l_tpu.envs import make_env
-
-    env = make_env("MuJoCoPixels/Ant-v5", 0, 0, "vision_and_touch", frame_stack=2)()
-    obs, _ = env.reset(seed=0)
-    assert obs["image"].shape == (2, 64, 64, 3) and obs["image"].dtype == np.uint8
-    assert obs["tactile"].shape == (2, 3, 32, 32)
-    obs, r, term, trunc, info = env.step(env.action_space.sample())
-    assert np.isfinite(r)
-    env.close()
+    code = """
+import os
+os.environ["MUJOCO_GL"] = "egl"
+import numpy as np
+from m3l_tpu.envs import make_env
+env = make_env("MuJoCoPixels/Ant-v5", 0, 0, "vision_and_touch", frame_stack=2)()
+obs, _ = env.reset(seed=0)
+assert obs["image"].shape == (2, 64, 64, 3) and obs["image"].dtype == np.uint8
+assert obs["tactile"].shape == (2, 3, 32, 32)
+obs, r, term, trunc, info = env.step(env.action_space.sample())
+assert np.isfinite(r)
+env.close()
+print("MUJOCO_PIXELS_OK")
+"""
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", code], env=env, capture_output=True, text=True, timeout=300)
+    assert "MUJOCO_PIXELS_OK" in out.stdout, out.stdout + out.stderr
 
 
 def test_touch_helpers():
