@@ -152,3 +152,59 @@ def load_torch_dinov2_state(model: DINOv2Backbone, state_dict: dict) -> int:
     set_(model.norm.scale, sd["norm.weight"])
     set_(model.norm.bias, sd["norm.bias"])
     return loaded
+
+
+class DINOv2LinearSegHead(nnx.Module):
+    """mmseg-style linear segmentation head over DINOv2 patch tokens: a
+    (frozen-stats) BatchNorm over the feature dim followed by a 1x1 conv to
+    the class logits — the layout of the reference's shipped
+    ``dino_head/dinov2_vits14_*_linear_head.pth`` assets (SURVEY.md §2.6,
+    BASELINE.json config #5)."""
+
+    def __init__(self, embed_dim: int = 384, num_classes: int = 150, *, dtype=jnp.float32, rngs: nnx.Rngs):
+        self.embed_dim = embed_dim
+        self.num_classes = num_classes
+        self.bn_scale = nnx.Param(jnp.ones((embed_dim,), jnp.float32))
+        self.bn_bias = nnx.Param(jnp.zeros((embed_dim,), jnp.float32))
+        self.bn_mean = nnx.Param(jnp.zeros((embed_dim,), jnp.float32))
+        self.bn_var = nnx.Param(jnp.ones((embed_dim,), jnp.float32))
+        self.conv_seg = nnx.Linear(embed_dim, num_classes, dtype=dtype, param_dtype=jnp.float32, rngs=rngs)
+
+    def __call__(self, patch_tokens: jnp.ndarray, grid: tuple[int, int] | None = None) -> jnp.ndarray:
+        """(B, N, D) patch tokens -> (B, N, classes) logits (or (B, gh, gw, C)
+        when ``grid`` is given)."""
+        x = patch_tokens.astype(jnp.float32)
+        x = (x - self.bn_mean[...]) / jnp.sqrt(self.bn_var[...] + 1e-5)
+        x = x * self.bn_scale[...] + self.bn_bias[...]
+        logits = self.conv_seg(x)
+        if grid is not None:
+            b = logits.shape[0]
+            return logits.reshape(b, *grid, self.num_classes)
+        return logits
+
+
+def load_torch_linear_seg_head(head: DINOv2LinearSegHead, checkpoint: dict) -> int:
+    """Load an mmseg linear-head checkpoint ({'state_dict': ...} or a bare
+    state dict) into :class:`DINOv2LinearSegHead`."""
+
+    def np_(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    sd = checkpoint.get("state_dict", checkpoint)
+    sd = {k.removeprefix("decode_head."): np_(v) for k, v in sd.items()}
+    loaded = 0
+
+    def set_(param, value):
+        nonlocal loaded
+        assert param[...].shape == value.shape, (param[...].shape, value.shape)
+        param[...] = jnp.asarray(value, jnp.float32)
+        loaded += value.size
+
+    set_(head.bn_scale, sd["bn.weight"])
+    set_(head.bn_bias, sd["bn.bias"])
+    set_(head.bn_mean, sd["bn.running_mean"])
+    set_(head.bn_var, sd["bn.running_var"])
+    # (classes, D, 1, 1) conv1x1 -> (D, classes) linear kernel
+    set_(head.conv_seg.kernel, sd["conv_seg.weight"][:, :, 0, 0].T)
+    set_(head.conv_seg.bias, sd["conv_seg.bias"])
+    return loaded
