@@ -24,11 +24,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Megatron-style tensor-parallel rules for the transformer stack:
 # column-parallel into the hidden dim, row-parallel back out.
+# Covers BOTH kernel namings in this package:
+#   * RL stack (nn/transformer.py): to_qkv / to_out / fc1 / fc2
+#   * ViT zoo (nn/vit_layers.py):   attn.qkv / attn.proj, xattn|cross.{q,kv,proj},
+#                                   Mlp.fc1/fc2, SwiGLUFFN.w12/w3
 _TP_RULES: list[tuple[re.Pattern, P]] = [
     (re.compile(r"to_qkv.*kernel"), P(None, "mp")),
     (re.compile(r"to_out.*kernel"), P("mp", None)),
+    (re.compile(r"(^|/)(attn|xattn|cross)/(qkv|q|kv)/kernel"), P(None, "mp")),
+    (re.compile(r"(^|/)(attn|xattn|cross)/proj/kernel"), P("mp", None)),
     (re.compile(r"\bfc1\b.*kernel"), P(None, "mp")),
     (re.compile(r"\bfc2\b.*kernel"), P("mp", None)),
+    (re.compile(r"(^|/)w12/kernel"), P(None, "mp")),
+    (re.compile(r"(^|/)w3/kernel"), P("mp", None)),
 ]
 
 
