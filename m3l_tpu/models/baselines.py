@@ -47,13 +47,20 @@ class ResNet18Encoder(nnx.Module):
         self.blocks = nnx.List([_BasicBlock(ci, co, s, dtype=dtype, rngs=rngs) for ci, co, s in zip(cins, widths, strides)])
         self.embed_dim = 512
 
-    def forward_features(self, x):
+    def forward_spatial(self, x):
+        """Final conv feature map (B, H/32, W/32, 512) — the reference
+        ResnetEncoder's last-scale feature consumed by the monodepth
+        PoseDecoder (reference pose_estimator/resnet_encoder.py)."""
         import jax
 
         x = self.stem(x)
         x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
         for blk in self.blocks:
             x = blk(x)
+        return x
+
+    def forward_features(self, x):
+        x = self.forward_spatial(x)
         b, h, w, c = x.shape
         tokens = x.reshape(b, h * w, c)
         return {"x_norm_patchtokens": tokens, "x_norm_regtokens": tokens[:, :0], "x_prenorm": tokens, "masks": None}
