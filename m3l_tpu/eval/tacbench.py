@@ -156,9 +156,110 @@ def classification_metrics(pred_labels: np.ndarray, gt_labels: np.ndarray, num_c
     }
 
 
+def _softmax(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def smooth_slip_predictions(pred: np.ndarray, window: int = 3) -> np.ndarray:
+    """Debounce a binary slip sequence: predict slip only when the last
+    ``window`` raw predictions all say slip (reference
+    test_t2_slip.py:116-124 deque smoothing)."""
+    pred = np.asarray(pred).astype(int)
+    out = np.zeros_like(pred)
+    for i in range(len(pred)):
+        lo = max(i - window + 1, 0)
+        w = pred[lo : i + 1]
+        out[i] = 1 if (len(w) == window and w.sum() == window) else 0
+    return out
+
+
 class TestSlipSL(TestTaskSL):
+    """Slip evaluator with the reference's full depth
+    (reference test_t2_slip.py:29-377): probability-threshold decisions
+    (th=0.4 on the slip prob, :44,106), per-trajectory prediction smoothing
+    (:116-124), and — when the probe also predicts delta forces
+    (SlipForceProbe) — per-axis delta-force RMSE +- std and Pearson r in
+    Newton scale (:144-149)."""
+
     task_name = "t2_slip"
     label_key = "slip"
+    threshold = 0.4
+    smooth_window = 3
+
+    def _labels(self, results: dict) -> np.ndarray:
+        # "slip_label" is the sensor dataset's key (data/sensors.py),
+        # "slip" the generic task-dataset one
+        key = "slip_label" if "slip_label" in results else self.label_key
+        return np.asarray(results[key]).astype(int)
+
+    def _slip_decisions(self, results: dict) -> tuple[np.ndarray, np.ndarray]:
+        pred = results["pred"]
+        logits = pred["slip"] if isinstance(pred, dict) else pred
+        labels = self._labels(results)
+        probs = _softmax(np.asarray(logits, np.float64))
+        if probs.shape[-1] == 2:
+            decisions = (probs[:, 1] > self.threshold).astype(int)
+        else:
+            decisions = np.argmax(probs, -1)
+        # per-trajectory smoothing when trajectory ids ride along the batch
+        if "traj_id" in results:
+            traj = np.asarray(results["traj_id"]).ravel()
+            for tid in np.unique(traj):
+                m = traj == tid
+                decisions[m] = smooth_slip_predictions(decisions[m], self.smooth_window)
+        return decisions, labels
+
+    def get_overall_metrics(self, results: dict) -> dict:
+        pred = results["pred"]
+        logits = pred["slip"] if isinstance(pred, dict) else pred
+        decisions, labels = self._slip_decisions(results)
+        metrics = classification_metrics(decisions, labels, np.asarray(logits).shape[-1])
+        if isinstance(pred, dict) and "force" in pred and "delta_force" in results:
+            scale = results.get("delta_force_scale", np.ones(3))
+            scale = np.asarray(scale[0] if np.ndim(scale) > 1 else scale, np.float64)
+            gt = results["delta_force"] * scale
+            hat = pred["force"] * scale
+            err = hat - gt
+            metrics["delta_force/rmse"] = np.sqrt((err**2).mean(0)).tolist()
+            metrics["delta_force/rmse_std"] = np.abs(err).std(0).tolist()
+            metrics["delta_force/corr"] = [_pearson(gt[:, i], hat[:, i]) for i in range(gt.shape[1])]
+        metrics["n_samples"] = int(len(labels))
+        return metrics
+
+    def make_plots(self, results: dict) -> dict:
+        """Per-trajectory slip timelines (+friction cone when forces ride
+        along) and delta-force curves (reference test_t2_slip.py:165-377)."""
+        from .plots import plot_delta_forces, plot_slip_trajectory
+
+        decisions, labels = self._slip_decisions(results)
+        plots = {}
+        traj = np.asarray(results["traj_id"]).ravel() if "traj_id" in results else np.zeros(len(labels), int)
+        pred = results["pred"]
+        for tid in np.unique(traj)[:20]:
+            m = traj == tid
+            force = results["force"][m] * np.asarray(results.get("force_scale", [np.ones(3)])[0]) if "force" in results else None
+            plots[f"slip_traj{tid}"] = plot_slip_trajectory(labels[m], decisions[m], force=force)
+            if isinstance(pred, dict) and "force" in pred and "delta_force" in results:
+                plots[f"delta_forces_traj{tid}"] = plot_delta_forces(results["delta_force"][m], pred["force"][m])
+        return plots
+
+
+class _ConfusionPlotMixin:
+    def make_plots(self, results: dict) -> dict:
+        """Confusion-matrix heatmap (reference test_t4_grasp.py:124-136,
+        test_t6_textile.py:128-142)."""
+        from .plots import plot_confusion_matrix
+
+        m = self.get_overall_metrics(results)
+        names = getattr(self, "class_names", None)
+        return {"confusion_matrix": plot_confusion_matrix(np.asarray(m["confusion"]), names)}
+
+
+class TestGraspSL(_ConfusionPlotMixin, TestTaskSL):
+    task_name = "t4_grasp"
+    label_key = "grasp"
+    class_names = ("not_gripping", "gripping")
 
     def get_overall_metrics(self, results: dict) -> dict:
         logits = results["pred"]
@@ -166,14 +267,10 @@ class TestSlipSL(TestTaskSL):
         return classification_metrics(np.argmax(logits, -1), labels, logits.shape[-1])
 
 
-class TestGraspSL(TestSlipSL):
-    task_name = "t4_grasp"
-    label_key = "grasp"
-
-
-class TestTextileSL(TestSlipSL):
+class TestTextileSL(TestGraspSL):
     task_name = "t6_textile"
     label_key = "textile"
+    class_names = None
 
 
 class TestPoseSL(TestTaskSL):
@@ -188,3 +285,19 @@ class TestPoseSL(TestTaskSL):
             metrics[f"acc_{head}"] = float((pred == labels).mean())
             metrics[f"bin_err_{head}"] = float(np.abs(pred - labels).mean())
         return metrics
+
+    def make_plots(self, results: dict) -> dict:
+        """Per-head confusion matrices (reference test_t3_pose.py:191-218)."""
+        from .plots import plot_confusion_matrix
+
+        plots = {}
+        for head in ("x", "y", "theta"):
+            logits = results["pred"][head]
+            labels = results[f"pose_{head}"].astype(int)
+            pred = np.argmax(logits, -1)
+            n = logits.shape[-1]
+            cm = np.zeros((n, n), np.int64)
+            for p, g in zip(pred, labels):
+                cm[g, p] += 1
+            plots[f"confusion_{head}"] = plot_confusion_matrix(cm)
+        return plots
