@@ -246,9 +246,15 @@ class PPOMAE:
                         mp, mopt = c
                         x_chunk, k = cxs
                         ml, mg = jax.value_and_grad(mae_loss_chunk)(mp, x_chunk, k)
-                        mg = jax.tree.map(lambda g: g * cont.astype(g.dtype), mg)
-                        upd, mopt = mae_tx.update(mg, mopt, mp)
-                        mp = optax.apply_updates(mp, upd)
+                        upd, new_mopt = mae_tx.update(mg, mopt, mp)
+                        new_mp = optax.apply_updates(mp, upd)
+                        # after KL early-stop the whole minibatch is a no-op:
+                        # freeze params AND optimizer state (moments, step
+                        # count) like the policy optimizer below — the
+                        # reference simply stops training (ppo_mae.py:334-338)
+                        g = cont.astype(jnp.float32)
+                        mp = jax.tree.map(lambda new, old: jnp.where(g > 0, new, old), new_mp, mp)
+                        mopt = jax.tree.map(lambda new, old: jnp.where(g > 0, new, old), new_mopt, mopt)
                         return (mp, mopt), ml
 
                     (mae_params, mae_opt), mls = jax.lax.scan(mae_step, (mae_params, mae_opt), (chunked, mae_keys))
@@ -444,21 +450,15 @@ class PPOMAE:
 
         import jax
 
-        from ..train.checkpoint import load_checkpoint
+        from ..train.checkpoint import load_checkpoint, restore_like
 
         payload = load_checkpoint(path)
 
-        def restore(template, pure):
-            flat_template = jax.tree.flatten(template)
-            leaves = jax.tree.leaves(pure)
-            assert len(leaves) == len(flat_template[0]), "checkpoint/model mismatch"
-            return jax.tree.unflatten(flat_template[1], [jnp.asarray(v) for v in leaves])
-
-        self.mae_params = restore(self.mae_params, payload["mae_params"])
-        self.other_params = restore(self.other_params, payload["other_params"])
-        self.policy_opt_state = restore(self.policy_opt_state, payload["policy_opt_state"])
+        self.mae_params = restore_like(self.mae_params, payload["mae_params"])
+        self.other_params = restore_like(self.other_params, payload["other_params"])
+        self.policy_opt_state = restore_like(self.policy_opt_state, payload["policy_opt_state"])
         if payload.get("mae_opt_state") is not None and self.mae_opt_state != ():
-            self.mae_opt_state = restore(self.mae_opt_state, payload["mae_opt_state"])
+            self.mae_opt_state = restore_like(self.mae_opt_state, payload["mae_opt_state"])
         self.num_timesteps = int(payload["num_timesteps"])
         vn = path + ".vecnorm.pkl"
         if os.path.isfile(vn):

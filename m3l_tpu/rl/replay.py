@@ -63,7 +63,11 @@ class ReplayBuffer:
         if self.full:
             idx = (rng.integers(0, self.capacity - 1, batch_size) + self.pos) % self.capacity
         else:
-            idx = rng.integers(0, max(self.pos - 1, 1), batch_size)
+            if self.pos < 2:
+                # with a single written slot, slot 0's ring-successor is still
+                # unwritten garbage — there is no valid transition to sample
+                raise ValueError("ReplayBuffer.sample needs at least two written time slots")
+            idx = rng.integers(0, self.pos - 1, batch_size)
         env_idx = rng.integers(0, self.n_envs, batch_size)
         next_idx = (idx + 1) % self.capacity
 

@@ -290,7 +290,7 @@ class SACMAE:
         return self
 
     def train_step(self) -> dict:
-        if len(self.buffer) < self.batch_size:
+        if len(self.buffer) < self.batch_size or (not self.buffer.full and self.buffer.pos < 2):
             return self.last_metrics
         batch = self.buffer.sample(self.batch_size, self._np_rng)
         self._key, k = jax.random.split(self._key)
@@ -341,20 +341,14 @@ class SACMAE:
         import os
         import pickle
 
-        from ..train.checkpoint import load_checkpoint
+        from ..train.checkpoint import load_checkpoint, restore_like
 
         payload = load_checkpoint(path)
 
-        def restore(template, pure):
-            flat_template = jax.tree.flatten(template)
-            leaves = jax.tree.leaves(pure)
-            assert len(leaves) == len(flat_template[0]), "checkpoint/model mismatch"
-            return jax.tree.unflatten(flat_template[1], [jnp.asarray(v) for v in leaves])
-
         for name in ("mae_params", "target_params", "critic_params", "ent_params", "actor_params", "actor_opt", "critic_opt", "ent_opt"):
-            setattr(self, name, restore(getattr(self, name), payload[name]))
+            setattr(self, name, restore_like(getattr(self, name), payload[name]))
         if payload.get("mae_opt") is not None and self.mae_opt != ():
-            self.mae_opt = restore(self.mae_opt, payload["mae_opt"])
+            self.mae_opt = restore_like(self.mae_opt, payload["mae_opt"])
         self.num_timesteps = int(payload["num_timesteps"])
         vn = path + ".vecnorm.pkl"
         if os.path.isfile(vn):

@@ -28,7 +28,7 @@ from .dino import CenterState, DINOModule, _layer_norm
 from .losses import (
     DINOLossState,
     dino_cross_entropy,
-    ibot_patch_loss,
+    ibot_patch_loss_all_pairs,
     koleo_loss,
     sinkhorn_knopp_teacher,
     softmax_center_teacher,
@@ -105,7 +105,11 @@ class DINOv2Module(DINOModule):
             t_probs_cls = sinkhorn_knopp_teacher(t_cls, teacher_temp)
             flat = t_patch.reshape(-1, t_patch.shape[-1])
             n_masked = keep.sum()
-            t_probs_patch = sinkhorn_knopp_teacher(flat, teacher_temp, n_samples=n_masked).reshape(t_patch.shape)
+            # non-kept rows are excluded from the transport problem, matching
+            # the reference's Sinkhorn over gathered kept tokens only
+            t_probs_patch = sinkhorn_knopp_teacher(
+                flat, teacher_temp, n_samples=n_masked, sample_mask=keep.reshape(-1)
+            ).reshape(t_patch.shape)
         else:
             raise NotImplementedError(self.centering)
 
@@ -117,10 +121,25 @@ class DINOv2Module(DINOModule):
         n_global_terms = (mg - 1) * mg
         dino_loss = dino_cross_entropy(student_views, t_views, self.student_temp) / (n_local_terms + n_global_terms)
 
-        ibot = ibot_patch_loss(s_patch, t_probs_patch, keep, self.student_temp) / mg
+        # all (student view, teacher view) pairs with plain masked means,
+        # scaled by 1/Mg (reference dinov2.py:465-468 ibot_loss_scale *
+        # iBOTPatchLoss.forward over the view lists)
+        n = s_patch.shape[1]
+        ibot = (
+            ibot_patch_loss_all_pairs(
+                s_patch.reshape(mg, b, n, -1),
+                t_probs_patch.reshape(mg, b, n, -1),
+                keep.reshape(mg, b, n),
+                self.student_temp,
+            )
+            / mg
+        )
 
-        s_cls_views = s_cls_g.reshape(mg, b, -1)
-        koleo = self.koleo_weight * sum(koleo_loss(s_cls_views[i]) for i in range(mg))
+        # KoLeo regularizes the PRE-head backbone CLS embeddings per global
+        # view (reference dinov2.py:458-462 applies koleo_loss to
+        # student_global_cls_tokens, not the head outputs)
+        s_cls_prehead = student_global["x_norm_regtokens"][:, 0].reshape(mg, b, -1)
+        koleo = self.koleo_weight * sum(koleo_loss(s_cls_prehead[i]) for i in range(mg))
 
         aux = {
             "dino_loss": dino_loss,

@@ -68,13 +68,20 @@ def sinkhorn_knopp_teacher(
     n_iterations: int = 3,
     axis_name: Optional[str] = None,
     n_samples: Optional[jnp.ndarray] = None,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sinkhorn-Knopp assignment (dino_loss.py:34-62 / ibot:63-98).
 
     ``n_samples`` overrides the local sample count (iBOT passes the number of
-    masked patches); it is psum-reduced across replicas."""
+    masked patches); it is psum-reduced across replicas. ``sample_mask``
+    (B,) bool excludes rows from the transport problem entirely — the
+    reference runs Sinkhorn only over the *gathered* kept patch tokens
+    (ibot_patch_loss.py:63-98), so at static shapes the non-kept rows must be
+    zeroed before normalization, not merely discounted via ``n_samples``."""
     t = teacher_output.astype(jnp.float32)
     q = jnp.exp(t / teacher_temp).T  # (K, B)
+    if sample_mask is not None:
+        q = q * sample_mask.astype(jnp.float32)[None, :]
     local_b = jnp.asarray(q.shape[1], jnp.float32) if n_samples is None else jnp.asarray(n_samples, jnp.float32)
     b_total = _psum(local_b, axis_name)
     k = q.shape[0]
@@ -82,7 +89,8 @@ def sinkhorn_knopp_teacher(
     for _ in range(n_iterations):
         rows = _psum(jnp.sum(q, axis=1, keepdims=True), axis_name)
         q = q / rows / k
-        q = q / jnp.sum(q, axis=0, keepdims=True) / b_total
+        # clip guards the all-zero columns of masked-out samples (0/eps = 0)
+        q = q / jnp.clip(jnp.sum(q, axis=0, keepdims=True), 1e-30, None) / b_total
     return (q * b_total).T
 
 
@@ -114,6 +122,35 @@ def ibot_patch_loss(
     weight = 1.0 / jnp.clip(student_masks.sum(-1, keepdims=True), 1.0, None)
     masked = per_patch * student_masks.astype(jnp.float32) * weight
     return -jnp.sum(masked) / student_masks.shape[0]
+
+
+def ibot_patch_loss_all_pairs(
+    student_patch_logits: jnp.ndarray,  # (M, B, N, K)
+    teacher_patch_probs: jnp.ndarray,  # (M, B, N, K)
+    keep_masks: jnp.ndarray,  # (M, B, N) bool: True at tokens kept by each view
+    student_temp: float = 0.1,
+) -> jnp.ndarray:
+    """All-pairs patch distillation as the reference's DINOv2 path uses it:
+    ``iBOTPatchLoss.forward`` (ibot_patch_loss.py:100-113) double-loops over
+    every (student view, teacher view) pair and takes a PLAIN mean per pair
+    over the gathered kept tokens — M² terms, no per-sample weighting.
+
+    Static-shape port: all N positions are computed (key-masked forward), so
+    each pair term is a masked mean weighted by the teacher view's keep mask
+    (exactly the gathered-token mean for same-view pairs; for cross-view
+    pairs the reference aligns tokens by gather order across *different*
+    masks — spatially arbitrary — whereas this aligns spatially; scale and
+    term count match, see docs/PARITY.md)."""
+    m = student_patch_logits.shape[0]
+    lsm = jax.nn.log_softmax(student_patch_logits.astype(jnp.float32) / student_temp, axis=-1)
+    t = teacher_patch_probs.astype(jnp.float32)
+    total = jnp.zeros((), jnp.float32)
+    for i in range(m):
+        for j in range(m):
+            per_tok = jnp.sum(t[j] * lsm[i], axis=-1)  # (B, N)
+            w = keep_masks[j].astype(jnp.float32)
+            total = total - jnp.sum(per_tok * w) / jnp.clip(w.sum(), 1.0, None)
+    return total
 
 
 def koleo_loss(student_output: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:

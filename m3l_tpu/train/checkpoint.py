@@ -42,6 +42,49 @@ def load_checkpoint(path: str) -> dict:
     return ckptr.restore(os.path.abspath(path))
 
 
+def _norm_path(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    # nnx.State leaves are VariableState pytrees whose array sits under a
+    # final ``.value`` attr; the saved pure dict (nnx.to_pure_dict) drops it
+    if parts and parts[-1] == "value":
+        parts = parts[:-1]
+    return "/".join(parts)
+
+
+def restore_like(template: Any, pure: Any) -> Any:
+    """Path-keyed restore: rebuild ``template``'s structure from ``pure``'s
+    arrays matched by tree path (dict keys / sequence indices normalized to
+    strings). Leaf-ORDER differences between the saved and live trees — e.g.
+    orbax restoring int-keyed dicts with lexicographic "10" < "2" string
+    keys — can therefore never silently transpose weights (reference
+    models/sac_mae.py:402-412 saves params by name)."""
+    import jax.numpy as jnp
+
+    t_flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    p_map = {_norm_path(p): v for p, v in jax.tree_util.tree_flatten_with_path(pure)[0]}
+    leaves = []
+    for path, old in t_flat:
+        key = _norm_path(path)
+        if key not in p_map:
+            raise KeyError(f"checkpoint missing leaf {key!r}; has {sorted(p_map)[:5]}...")
+        new = jnp.asarray(p_map.pop(key))
+        if hasattr(old, "shape") and tuple(old.shape) != tuple(new.shape):
+            raise ValueError(f"shape mismatch at {key!r}: model {tuple(old.shape)} vs checkpoint {tuple(new.shape)}")
+        leaves.append(new)
+    if p_map:
+        raise KeyError(f"checkpoint has {len(p_map)} unmatched leaves, e.g. {sorted(p_map)[:3]}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def restore_module_state(module: nnx.Module, pure_state: dict) -> None:
     state = nnx.state(module)
     nnx.replace_by_pure_dict(state, pure_state)
