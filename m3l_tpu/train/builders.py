@@ -131,6 +131,28 @@ def build_task_module(
     )
 
 
+def build_forcefield_module(
+    encoder,
+    *,
+    geometric: bool = True,
+    hooks: Sequence[int] = (2, 5, 8, 11),
+    fusion_ch: int = 128,
+    seed: int = 2,
+    **kwargs,
+):
+    """Force-field task over ViT intermediate layers (reference
+    config/task/digit_forcefield.yaml task block): DPT decoder +
+    GeometricForceFieldModule (pose estimation + depth reprojection SSL) or
+    the plain flow-SSL ForceFieldModule when geometric=False."""
+    from ..tasks import ForceFieldDecoder, ForceFieldModule, GeometricForceFieldModule
+
+    hooks = [h for h in hooks if h < len(encoder.blocks)] or [len(encoder.blocks) - 1]
+    dec = ForceFieldDecoder(encoder, hooks=hooks, fusion_ch=fusion_ch, rngs=nnx.Rngs(seed))
+    if geometric:
+        return GeometricForceFieldModule(dec, rngs=nnx.Rngs(seed + 1), **kwargs)
+    return ForceFieldModule(dec, **kwargs)
+
+
 def build_trainer(**kwargs):
     from .trainer import Trainer
 

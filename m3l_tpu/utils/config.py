@@ -49,20 +49,30 @@ def _lookup(cfg: dict, dotted: str, default=...) -> Any:
     return cur
 
 
-def _interpolate(node: Any, root: dict) -> Any:
+def _interpolate(node: Any, root: dict, _depth: int = 0) -> Any:
+    """Recursive ``${...}`` resolution: looked-up values may themselves
+    contain interpolations (e.g. ckpt_dir -> ${experiment_name} ->
+    ${sensor}_${ssl_name}); depth-capped against reference cycles."""
+    if _depth > 16:
+        raise RecursionError("interpolation cycle detected")
+
+    def resolve(expr: str):
+        if ":" in expr:
+            key, default = expr.split(":", 1)
+            val = _lookup(root, key.strip(), yaml.safe_load(default))
+        else:
+            val = _lookup(root, expr.strip())
+        return _interpolate(val, root, _depth + 1)
+
     if isinstance(node, str):
         full = _INTERP.fullmatch(node.strip())
         if full:
-            expr = full.group(1)
-            if ":" in expr:
-                key, default = expr.split(":", 1)
-                return _lookup(root, key.strip(), yaml.safe_load(default))
-            return _lookup(root, expr.strip())
-        return _INTERP.sub(lambda m: str(_lookup(root, m.group(1).split(":")[0].strip(), m.group(1).split(":")[1] if ":" in m.group(1) else ...)), node)
+            return resolve(full.group(1))
+        return _INTERP.sub(lambda m: str(resolve(m.group(1))), node)
     if isinstance(node, dict):
-        return {k: _interpolate(v, root) for k, v in node.items()}
+        return {k: _interpolate(v, root, _depth) for k, v in node.items()}
     if isinstance(node, list):
-        return [_interpolate(v, root) for v in node]
+        return [_interpolate(v, root, _depth) for v in node]
     return node
 
 
@@ -79,12 +89,18 @@ def load_config(path: str, overrides: Optional[list[str]] = None, _top: bool = T
     defaults = cfg.pop("defaults", [])
 
     def _resolve(rel: str) -> str:
-        # group files resolve against this file's dir, falling back to the
-        # parent (so experiment/*.yaml can select ../model/*.yaml groups)
-        for base in (root_dir, os.path.dirname(root_dir)):
+        # group files resolve against this file's dir, then walk up the
+        # ancestors to the config root (so deeply nested files like
+        # experiment/downstream_task/force/digit_mae.yaml can select
+        # top-level groups such as task/... or paths/...)
+        base = root_dir
+        seen = set()
+        while base and base not in seen:
+            seen.add(base)
             cand = os.path.join(base, rel)
             if os.path.isfile(cand):
                 return cand
+            base = os.path.dirname(base)
         raise FileNotFoundError(f"config group file {rel!r} (from {path})")
 
     composed: dict = {}
