@@ -39,7 +39,7 @@ def _worker(remote, parent_remote, env_fn, shm_names, shapes, dtypes, idx):
             cmd, data = remote.recv()
             if cmd == "step":
                 o, r, term, trunc, info = env.step(data)
-                monitor.step(r)
+                monitor.step(r, info)
                 done = term or trunc
                 info = dict(info)
                 if done:

@@ -25,19 +25,24 @@ def _stack_obs(obs_list: Sequence[dict]) -> dict:
 
 
 class _Monitor:
-    """Episode return/length accounting over raw rewards."""
+    """Episode return/length/success accounting over raw rewards (the
+    reference's Monitor + TensorboardCallback avg_success,
+    utils/callbacks.py:12-22)."""
 
     def __init__(self):
         self.ret = 0.0
         self.len = 0
+        self.success = False
 
-    def step(self, reward: float) -> None:
+    def step(self, reward: float, info: dict | None = None) -> None:
         self.ret += float(reward)
         self.len += 1
+        if info is not None and info.get("is_success", False):
+            self.success = True
 
     def pop(self) -> dict:
-        ep = {"r": self.ret, "l": self.len}
-        self.ret, self.len = 0.0, 0
+        ep = {"r": self.ret, "l": self.len, "s": float(self.success)}
+        self.ret, self.len, self.success = 0.0, 0, False
         return ep
 
 
@@ -60,7 +65,7 @@ class SyncVecEnv:
         obs_list, rewards, dones, infos = [], [], [], []
         for i, env in enumerate(self.envs):
             o, r, term, trunc, info = env.step(actions[i])
-            self._monitors[i].step(r)
+            self._monitors[i].step(r, info)
             done = term or trunc
             info = dict(info)
             if done:
@@ -92,7 +97,7 @@ def _worker(remote, parent_remote, env_fn):
             cmd, data = remote.recv()
             if cmd == "step":
                 o, r, term, trunc, info = env.step(data)
-                monitor.step(r)
+                monitor.step(r, info)
                 done = term or trunc
                 info = dict(info)
                 if done:

@@ -40,12 +40,19 @@ class Attention(nnx.Module):
         x = self.norm(x)
         qkv = self.to_qkv(x).reshape(b, n, 3, h, dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, dh)
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.scale
-        scores = scores.astype(jnp.float32)
-        if key_mask is not None:
-            scores = scores + jnp.where(key_mask[:, None, None, :], 0.0, -1e30)
-        attn = nnx.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, h * dh)
+        from .flash_attention import flash_attention, use_flash
+
+        if use_flash():
+            # fused pallas kernel: scores/softmax stay in VMEM (the einsum
+            # path's (B,H,N,N) f32 HBM round-trip dominates at these shapes)
+            out = flash_attention(q, k, v, key_mask=key_mask, scale=self.scale).reshape(b, n, h * dh)
+        else:
+            scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.scale
+            scores = scores.astype(jnp.float32)
+            if key_mask is not None:
+                scores = scores + jnp.where(key_mask[:, None, None, :], 0.0, -1e30)
+            attn = nnx.softmax(scores, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, h * dh)
         if self.project_out:
             out = self.to_out(out)
         return out

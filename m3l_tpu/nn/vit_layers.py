@@ -85,6 +85,12 @@ class Attention(nnx.Module):
         h, dh = self.num_heads, self.head_dim
         qkv = self.qkv(x).reshape(b, n, 3, h, dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        from .flash_attention import flash_attention, use_flash
+
+        if use_flash():
+            # fused pallas attention (VMEM softmax); einsum fallback off-TPU
+            out = flash_attention(q, k, v, key_mask=key_mask, scale=self.scale).reshape(b, n, h * dh)
+            return self.proj(out)
         scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.scale
         scores = scores.astype(jnp.float32)
         if key_mask is not None:

@@ -68,6 +68,23 @@ class MAEFeatures(nnx.Module):
         update). Variant extractors override the modality selection."""
         return self.mae(x, key)
 
+    def features_and_mae_loss(self, x: dict, key: jax.Array):
+        """Policy features AND the MAE loss with ONE shared token pipeline
+        (EarlyCNN/patch embed + modality/pos encodings) — the fused PPO
+        update's redundant-compute fix. Falls back to separate pipelines in
+        vision_only_control mode, where the policy's token set differs from
+        the MAE's (reference pretrain_models.py:819-841 vs :146-342)."""
+        if self.vision_only_control:
+            return self.from_packed(x), self.mae_loss(x, key)
+        use_vision = "image" in x
+        mae = self.mae
+        image_patches, tactile_patches = mae._raw_patches(x, use_vision, True)
+        tokens = mae._tokens(x, use_vision, True, image_patches, tactile_patches)
+        emb = mae.encoder.transformer(tokens)
+        feats = jnp.mean(self.post(emb), axis=1)
+        loss = mae(x, key, use_vision=use_vision, precomputed=(tokens, image_patches, tactile_patches))
+        return feats, loss
+
 
 class ActorCritic(nnx.Module):
     def __init__(
@@ -129,6 +146,18 @@ class ActorCritic(nnx.Module):
     def evaluate_actions_packed(self, x: dict, actions: jnp.ndarray):
         mean, log_std, value = self._heads(self.features.from_packed(x))
         return value, self._log_prob(actions, mean, log_std), self._entropy(log_std, mean.shape[0])
+
+    def evaluate_actions_packed_with_mae(self, x: dict, actions: jnp.ndarray, key: jax.Array):
+        """(values, log_prob, entropy, mae_loss) with the token pipeline
+        shared between the policy features and the MAE loss when the
+        extractor supports it (joint fused PPO+MAE update)."""
+        if hasattr(self.features, "features_and_mae_loss"):
+            feats, mae_loss = self.features.features_and_mae_loss(x, key)
+        else:
+            feats = self.features.from_packed(x)
+            mae_loss = self.features.mae_loss(x, key)
+        mean, log_std, value = self._heads(feats)
+        return value, self._log_prob(actions, mean, log_std), self._entropy(log_std, mean.shape[0]), mae_loss
 
     def predict_values(self, obs: dict) -> jnp.ndarray:
         _, _, value = self._dist_params(obs)

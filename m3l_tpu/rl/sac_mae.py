@@ -282,9 +282,10 @@ class SACMAE:
                 break
             if self.verbose and episode_num and episode_num % log_interval == 0 and any("episode" in i for i in infos):
                 ep_rew = np.mean([e["r"] for e in self.ep_info_buffer])
+                ep_suc = np.mean([e.get("s", 0.0) for e in self.ep_info_buffer])
                 fps = int(self.num_timesteps / (time.time() - t_start))
                 print(
-                    f"[sac] steps={self.num_timesteps} fps={fps} ep_rew_mean={ep_rew:.2f} "
+                    f"[sac] steps={self.num_timesteps} fps={fps} ep_rew_mean={ep_rew:.2f} success_rate={ep_suc:.2f} "
                     + " ".join(f"{k}={v:.4f}" for k, v in self.last_metrics.items())
                 )
         return self

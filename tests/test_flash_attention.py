@@ -1,0 +1,80 @@
+"""Pallas flash-attention kernel vs the einsum reference (interpret mode on
+CPU; the real kernel runs on TPU only)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3l_tpu.nn.flash_attention import flash_attention
+
+
+def einsum_attention(q, k, v, key_mask=None, scale=None):
+    scale = scale or q.shape[-1] ** -0.5
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    s = s.astype(jnp.float32)
+    if key_mask is not None:
+        s = s + jnp.where(key_mask[:, None, None, :], 0.0, -1e30)
+    a = jax.nn.softmax(s, -1).astype(v.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", a, v)
+
+
+def _qkv(b=4, n=192, h=4, dh=64, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(size=(b, n, h, dh)), jnp.float32)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("n", [192, 17, 64])
+def test_flash_matches_einsum_fwd(n):
+    q, k, v = _qkv(n=n)
+    out = flash_attention(q, k, v, interpret=True)
+    ref = einsum_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_flash_matches_einsum_grads():
+    q, k, v = _qkv()
+    f_ref = lambda q, k, v: jnp.sum(jnp.sin(einsum_attention(q, k, v)))
+    f_fl = lambda q, k, v: jnp.sum(jnp.sin(flash_attention(q, k, v, interpret=True)))
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(f_fl, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_flash_key_mask():
+    q, k, v = _qkv()
+    rng = np.random.default_rng(1)
+    mask = jnp.asarray(rng.random((4, 192)) > 0.4)
+    out = flash_attention(q, k, v, key_mask=mask, interpret=True)
+    ref = einsum_attention(q, k, v, key_mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+    g_ref = jax.grad(lambda q: jnp.sum(jnp.sin(einsum_attention(q, k, v, mask))))(q)
+    g_fl = jax.grad(lambda q: jnp.sum(jnp.sin(flash_attention(q, k, v, key_mask=mask, interpret=True))))(q)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_fl), atol=2e-6)
+
+
+def test_shared_pipeline_matches_separate():
+    """features_and_mae_loss == (from_packed, mae_loss) with the same key
+    (the fused PPO update's redundancy fix must not change numerics)."""
+    from flax import nnx
+
+    from m3l_tpu.models import VTT, VTTConfig, VTMAE
+    from m3l_tpu.rl import MAEFeatures
+
+    rngs = nnx.Rngs(0)
+    cfg = VTTConfig(dim=64, depth=1, heads=2, mlp_dim=128, num_tactiles=2, frame_stack=2)
+    mae = VTMAE(VTT(cfg, rngs=rngs), decoder_dim=64, masking_ratio=0.75, decoder_depth=1, decoder_heads=2, early_conv_masking=True, rngs=rngs)
+    feats = MAEFeatures(mae, cfg.dim, frame_stack=2, rngs=rngs)
+    rng = np.random.default_rng(0)
+    x = {
+        "image": jnp.asarray(rng.random((3, 64, 64, 6), np.float32)),
+        "tactile1": jnp.asarray(rng.random((3, 32, 32, 6), np.float32)),
+        "tactile2": jnp.asarray(rng.random((3, 32, 32, 6), np.float32)),
+    }
+    key = jax.random.PRNGKey(7)
+    f_shared, l_shared = feats.features_and_mae_loss(x, key)
+    f_sep = feats.from_packed(x)
+    l_sep = feats.mae_loss(x, key)
+    np.testing.assert_allclose(np.asarray(f_shared), np.asarray(f_sep), atol=1e-5)
+    np.testing.assert_allclose(float(l_shared), float(l_sep), atol=1e-5)
