@@ -375,6 +375,26 @@ class GeometricForceFieldModule(SLModuleBase):
         field = self.model_task(x)
         return jnp.concatenate([field[..., :1], field[..., 1:] * self.scale_flow], axis=-1)
 
+    def render_overlay_video(self, images: np.ndarray, path: str, *, spacing: int = 16, fps: int = 10, max_frames: int = 50) -> str:
+        """Quiver-overlay prediction video over a batch of tactile frames
+        (the reference's forcefield visualization flow:
+        demo_t1_forcefield.py + ssl_utils.py:296-354 plot_quiver_img +
+        utils/pretrain_utils.py:148-197 log_videos)."""
+        from flax import nnx
+
+        from ..utils.video import write_video
+
+        jit_predict = nnx.jit(lambda m, x: m.predict(x))
+        field = np.asarray(jit_predict(self, jnp.asarray(images[:max_frames])))
+        frames = []
+        for i in range(min(len(images), max_frames)):
+            rgb = np.asarray(images[i][..., :3], np.float32)
+            rgb = (rgb - rgb.min()) / max(rgb.max() - rgb.min(), 1e-6)
+            normal = field[i, ..., 0]
+            shear = field[i, ..., 1:]
+            frames.append(np.asarray(plot_quiver_img(rgb, shear, normal, np.ones(normal.shape), spacing))[..., :3])
+        return write_video(frames, path, fps=fps)
+
 
 def _flow_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """warp() of ssl_utils.py:33-66: sample img at grid+flow, zeroing

