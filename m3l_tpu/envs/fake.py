@@ -51,12 +51,23 @@ class FakeInsertionEnv(gym.Env):
         self._pos = np.zeros(action_dim, np.float32)
         self._t = 0
 
+    _GRID_CACHE: dict = {}
+
+    @classmethod
+    def _grid(cls, s: int):
+        # cached meshgrid: _obs runs every env step and the 1-core host makes
+        # per-step mgrid allocation a measurable share of rollout collection
+        if s not in cls._GRID_CACHE:
+            yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+            cls._GRID_CACHE[s] = (yy, xx)
+        return cls._GRID_CACHE[s]
+
     def _obs(self) -> dict:
         obs = {}
         s = self.image_size
         if "image" in self.observation_space.spaces:
             # a blob whose position encodes the latent state
-            yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+            yy, xx = self._grid(s)
             cx = 0.5 + 0.4 * float(np.tanh(self._pos[0]))
             cy = 0.5 + 0.4 * float(np.tanh(self._pos[1 % len(self._pos)]))
             blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 0.02))
@@ -64,7 +75,7 @@ class FakeInsertionEnv(gym.Env):
             obs["image"] = (img * 255).astype(np.uint8)
         if "tactile" in self.observation_space.spaces:
             ts = self.tactile_size
-            yy, xx = np.mgrid[0:ts, 0:ts].astype(np.float32) / ts
+            yy, xx = self._grid(ts)
             contact = float(np.exp(-np.sum((self._pos - self._target) ** 2)))
             maps = []
             for k in range(self.num_sensors):
