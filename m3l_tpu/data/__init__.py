@@ -2,7 +2,9 @@ from .datasets import ArrayDataset, DataLoader, VisionTactileDataset, load_pickl
 from .task_datasets import make_task_dataset, bin_labels, LABEL_KEYS  # noqa: F401
 from .sensors import (  # noqa: F401
     DIGIT_BGS_OBJECTS,
+    DigitSlipDataset,
     DigitYCBSlideDataset,
+    ForceFieldSSLDataset,
     GelsightGraspDataset,
     VisionForceSlipDataset,
     compute_diff,

@@ -426,3 +426,117 @@ class VisionForceSlipDataset:
         if self.out_format == "video":
             return np.stack(images, axis=0)
         return np.concatenate(images, axis=-1)
+
+
+DIGIT_SLIP_LABELS = {0: "no_contact", 1: "no_shear", 2: "shear", 3: "partial_slip", 4: "slip"}
+
+
+class DigitSlipDataset:
+    """Five-class DIGIT slip dataset over an image directory
+    (reference tactile_ssl/data/digit_slip.py:26-96): each item is the
+    channel-concat of the frame at ``idx`` and the frame ``d_frames``
+    earlier, labeled with {no_contact, no_shear, shear, partial_slip, slip}.
+    ``with_markers`` sensors disable background diff and use a single frame
+    plus the sequence's first frame as the static reference
+    (digit_slip.py:47-50, 90-94)."""
+
+    def __init__(
+        self,
+        path_images: Sequence[str] | str,
+        labels_slip: Sequence[int],
+        *,
+        d_frames: int = 1,
+        img_sz: Sequence[int] = (224, 224),
+        remove_bg: bool = True,
+        with_markers: bool = False,
+    ):
+        if isinstance(path_images, str):
+            path_images = sorted(
+                p for p in glob(os.path.join(path_images, "*")) if p.lower().endswith((".jpg", ".jpeg", ".png"))
+            )
+        self.path_images = list(path_images)
+        self.gt_slip = np.asarray(labels_slip)
+        self.d_frames = d_frames
+        self.img_sz = tuple(img_sz)
+        self.with_markers = with_markers
+        if with_markers:  # markers carry the shear signal; keep them intact
+            remove_bg = False
+            self.frames_concat_idx = [0]
+        else:
+            self.frames_concat_idx = [0, -d_frames]
+        self.bg = self._imread(self.path_images[0]) if remove_bg else None
+
+    @staticmethod
+    def _imread(path: str) -> np.ndarray:
+        import cv2
+
+        return cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+
+    def __len__(self) -> int:
+        return max(len(self.path_images) - 2 * self.d_frames, 0)
+
+    def _load(self, path: str) -> np.ndarray:
+        img = self._imread(path)
+        if self.bg is not None:
+            img = compute_diff(img, self.bg, offset=0.5)
+        return resize_image(img, self.img_sz)
+
+    def __getitem__(self, idx: int) -> dict:
+        idx += self.d_frames
+        images = [self._load(self.path_images[idx + i]) for i in self.frames_concat_idx]
+        if self.with_markers:
+            images.append(self._load(self.path_images[0]))
+        label = int(self.gt_slip[idx])
+        return {
+            "image": np.concatenate(images, axis=-1),
+            "label": label,
+            "category_label": DIGIT_SLIP_LABELS[label],
+        }
+
+
+class ForceFieldSSLDataset:
+    """Force-field SSL dataset (reference
+    tactile_ssl/data/vision_tactile_forcefield.py:29-138): a frame window
+    (video / concat_ch_img / single_image, stride ``frame_stride``) plus —
+    in concat mode — ``image_bg``: the current frame channel-concatenated
+    with the sensor background, which the geometric SSL objective warps
+    against (forcefield_sl.py:95-412; tasks/forcefield_geometry.py here)."""
+
+    def __init__(
+        self,
+        frames: Sequence,
+        *,
+        bg: Optional[np.ndarray] = None,
+        num_frames: int = 2,
+        frame_stride: int = 1,
+        out_format: str = "concat_ch_img",
+        img_sz: Sequence[int] = (224, 224),
+    ):
+        assert out_format in ("video", "concat_ch_img", "single_image")
+        self.frames = frames
+        self.bg = bg
+        self.out_format = out_format
+        self.num_frames = 1 if out_format == "single_image" else num_frames
+        self.frames_concat_idx = np.arange(0, self.num_frames * frame_stride, frame_stride)
+        self.img_sz = tuple(img_sz)
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def _frame(self, idx: int) -> np.ndarray:
+        return resize_image(load_sample_from_buf(self.frames[idx], self.bg), self.img_sz)
+
+    def __getitem__(self, idx: int) -> dict:
+        idx += int(self.frames_concat_idx[-1])
+        images = [self._frame(int(np.clip(idx - i, 0, len(self.frames) - 1))) for i in self.frames_concat_idx]
+        item = {}
+        if self.out_format == "single_image":
+            item["image"] = images[0]
+        elif self.out_format == "video":
+            item["image"] = np.stack(images, axis=0)
+        else:
+            item["image"] = np.concatenate(images, axis=-1)
+            if self.bg is not None:
+                bg = resize_image(load_sample_from_buf(self.bg, self.bg), self.img_sz)
+                item["image_bg"] = np.concatenate([images[0], bg], axis=-1)
+        return item

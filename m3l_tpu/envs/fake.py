@@ -62,16 +62,32 @@ class FakeInsertionEnv(gym.Env):
             cls._GRID_CACHE[s] = (yy, xx)
         return cls._GRID_CACHE[s]
 
+    @staticmethod
+    def _blob(yy, xx, p, base_r: float = 0.02):
+        """Gaussian blob at the camera projection of latent point ``p``.
+
+        x/y map through tanh to the frame; the third coordinate (when the
+        latent is 3-D) modulates apparent size, the way depth scales an
+        object in a real camera image — so the full latent is observable,
+        matching the reference task where the camera sees both the held
+        object and the socket (tactile_envs Insertion; SURVEY.md §2.2).
+        """
+        cx = 0.5 + 0.4 * float(np.tanh(p[0]))
+        cy = 0.5 + 0.4 * float(np.tanh(p[1 % len(p)]))
+        r = base_r * (1.0 + 0.6 * float(np.tanh(p[2]))) if len(p) > 2 else base_r
+        return np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / r))
+
     def _obs(self) -> dict:
         obs = {}
         s = self.image_size
         if "image" in self.observation_space.spaces:
-            # a blob whose position encodes the latent state
+            # two blobs: the controlled "peg" (red/blue) and the episode's
+            # "socket" target (green) — both visible, as in the reference's
+            # camera view of the Insertion scene
             yy, xx = self._grid(s)
-            cx = 0.5 + 0.4 * float(np.tanh(self._pos[0]))
-            cy = 0.5 + 0.4 * float(np.tanh(self._pos[1 % len(self._pos)]))
-            blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 0.02))
-            img = np.stack([blob, 0.5 * blob, 1.0 - blob], axis=-1)
+            blob = self._blob(yy, xx, self._pos)
+            tgt = self._blob(yy, xx, self._target)
+            img = np.stack([blob, np.maximum(0.5 * blob, tgt), 1.0 - blob], axis=-1)
             obs["image"] = (img * 255).astype(np.uint8)
         if "tactile" in self.observation_space.spaces:
             ts = self.tactile_size

@@ -173,3 +173,45 @@ def test_pose_and_textile_loaders(tmp_path):
     (tmp_path / "textile0" / "metadata.txt").write_text("cotton")
     data, meta = load_textile_dataset(str(tmp_path), "textile0")
     assert meta == "cotton" and data["frames"] == [1, 2, 3]
+
+
+def test_digit_slip_dataset(tmp_path):
+    from m3l_tpu.data import DigitSlipDataset
+    from m3l_tpu.data.sensors import DIGIT_SLIP_LABELS
+
+    rng = np.random.default_rng(4)
+    n = 12
+    for i in range(n):
+        img = _rand_img(rng, h=32, w=24)
+        cv2.imwrite(str(tmp_path / f"frame_{i:04d}.png"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    labels = rng.integers(0, 5, n)
+    ds = DigitSlipDataset(str(tmp_path), labels, d_frames=2, img_sz=(32, 32))
+    assert len(ds) == n - 4
+    item = ds[0]
+    # two frames channel-concatenated (digit_slip.py:38-42)
+    assert item["image"].shape == (32, 32, 6)
+    assert item["label"] == int(labels[2])
+    assert item["category_label"] == DIGIT_SLIP_LABELS[item["label"]]
+    # markers mode: single frame + sequence-start reference, no bg diff
+    ds_m = DigitSlipDataset(str(tmp_path), labels, d_frames=2, img_sz=(32, 32), with_markers=True)
+    assert ds_m.bg is None
+    assert ds_m[0]["image"].shape == (32, 32, 6)
+
+
+def test_forcefield_ssl_dataset():
+    from m3l_tpu.data import ForceFieldSSLDataset
+
+    rng = np.random.default_rng(5)
+    frames = [_png_bytes(_rand_img(rng, h=40, w=30)) for _ in range(8)]
+    bg = _rand_img(rng, h=40, w=30)
+    ds = ForceFieldSSLDataset(frames, bg=bg, num_frames=2, frame_stride=2, img_sz=(64, 64))
+    item = ds[0]
+    # window concat + current-frame/background pair (vision_tactile_forcefield.py:93-138)
+    assert item["image"].shape == (64, 64, 6)
+    assert item["image_bg"].shape == (64, 64, 6)
+    # the first half of image_bg is the window's current frame
+    np.testing.assert_allclose(item["image_bg"][..., :3], item["image"][..., :3])
+    vid = ForceFieldSSLDataset(frames, bg=None, num_frames=3, out_format="video", img_sz=(32, 32))[1]
+    assert vid["image"].shape == (3, 32, 32, 3)
+    single = ForceFieldSSLDataset(frames, bg=None, out_format="single_image", img_sz=(32, 32))[1]
+    assert single["image"].shape == (32, 32, 3)
