@@ -61,6 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--separate_optimizer", type=str2bool, default=True)
     # TPU-specific
     parser.add_argument("--compute_dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    parser.add_argument("--device_buffer", type=str2bool, default=False, help="keep the replay ring in device HBM (no per-gradient-step host->device batch copy)")
     parser.add_argument("--subproc", type=str2bool, default=True)
     parser.add_argument("--verbose", type=int, default=1)
     parser.add_argument("--tensorboard_dir", type=str, default=None, help="enable TensorBoard logging")
@@ -127,6 +128,7 @@ def build_model(config, env):
         mae_batch_size=config.mae_batch_size,
         separate_optimizer=config.separate_optimizer,
         norm_reward=config.norm_reward,
+        device_buffer=config.device_buffer,
         frame_stack=config.frame_stack,
         seed=config.seed,
         verbose=config.verbose,

@@ -92,3 +92,167 @@ class ReplayBuffer:
             "rewards": self.rewards[idx, env_idx],
             "dones": dones.astype(np.float32),
         }
+
+
+class DeviceReplayBuffer:
+    """HBM-resident ring buffer (TPU-native alternative to :class:`ReplayBuffer`).
+
+    The reference pays a host->device copy of every sampled minibatch per SAC
+    gradient step (models/sac_mae.py:240 via SB3 ReplayBuffer.sample; the
+    "improved" PPO files hide the same cost behind DataLoader workers). Over
+    a network-attached TPU that transfer dominates the whole update. Here the
+    ring lives in device HBM (images uint8, float32 maps stored bfloat16),
+    ``add`` writes one time slot per dispatch into donated buffers (true
+    in-place update under XLA), and ``sample`` gathers the minibatch entirely
+    on device — the only host->device traffic per transition is the single
+    new observation.
+
+    Timeout (truncated-episode) transitions keep SB3's
+    ``handle_timeout_termination`` semantics exactly, like the host buffer:
+    their true terminal observation is stored in a small device-side ring of
+    ``timeout_capacity`` slots referenced by slot index, and the sample
+    gather substitutes it for the ring-successor observation. The timeout
+    ring must be large enough that an entry is not overwritten while its
+    transition is still sampleable: timeout_capacity >= capacity * n_envs /
+    min_episode_length.
+    """
+
+    def __init__(self, capacity: int, n_envs: int, obs_space, action_dim: int, timeout_capacity: int = 4096):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax, self._jnp = jax, jnp
+        self.capacity = max(capacity // n_envs, 1)
+        self.n_envs = n_envs
+        self._obs_dtypes = {}
+        store_map = {np.dtype(np.float32): jnp.bfloat16, np.dtype(np.float16): jnp.bfloat16}
+        obs = {}
+        tobs = {}
+        for k, sp in obs_space.spaces.items():
+            store = store_map.get(np.dtype(sp.dtype), sp.dtype)
+            obs[k] = jnp.zeros((self.capacity, n_envs, *sp.shape), store)
+            tobs[k] = jnp.zeros((timeout_capacity, *sp.shape), store)
+            self._obs_dtypes[k] = sp.dtype
+        self._state = {
+            "obs": obs,
+            "actions": jnp.zeros((self.capacity, n_envs, action_dim), jnp.float32),
+            "rewards": jnp.zeros((self.capacity, n_envs), jnp.float32),
+            "dones": jnp.zeros((self.capacity, n_envs), jnp.float32),
+            "timeouts": jnp.zeros((self.capacity, n_envs), jnp.float32),
+            "timeout_obs": tobs,
+            "timeout_slot": jnp.full((self.capacity, n_envs), -1, jnp.int32),
+        }
+        self.timeout_capacity = timeout_capacity
+        self._timeout_pos = 0
+        self.pos = 0
+        self.full = False
+
+        def _write(state, p, obs_in, actions, rewards, dones, timeouts, slot_row):
+            new = dict(state)
+            new["obs"] = {k: state["obs"][k].at[p].set(obs_in[k].astype(state["obs"][k].dtype)) for k in obs_in}
+            new["actions"] = state["actions"].at[p].set(actions)
+            new["rewards"] = state["rewards"].at[p].set(rewards)
+            new["dones"] = state["dones"].at[p].set(dones)
+            new["timeouts"] = state["timeouts"].at[p].set(timeouts)
+            new["timeout_slot"] = state["timeout_slot"].at[p].set(slot_row)
+            return new
+
+        def _write_timeout(state, tpos, term_obs):
+            new = dict(state)
+            new["timeout_obs"] = {
+                k: state["timeout_obs"][k].at[tpos].set(term_obs[k].astype(state["timeout_obs"][k].dtype))
+                for k in term_obs
+            }
+            return new
+
+        cap = self.capacity
+
+        def _gather(state, idx, env_idx):
+            nxt = (idx + 1) % cap
+            def fetch(rows):
+                return {k: state["obs"][k][rows, env_idx] for k in state["obs"]}
+            obs_b = fetch(idx)
+            next_b = fetch(nxt)
+            slot = state["timeout_slot"][idx, env_idx]
+            use_t = slot >= 0
+            safe = jnp.maximum(slot, 0)
+            out_next = {}
+            for k in next_b:
+                t = state["timeout_obs"][k][safe]
+                sel = use_t.reshape((-1,) + (1,) * (t.ndim - 1))
+                out_next[k] = jnp.where(sel, t, next_b[k])
+            dones = state["dones"][idx, env_idx] * (1.0 - state["timeouts"][idx, env_idx])
+            cast = lambda d: {k: v.astype(self._obs_dtypes[k]) if v.dtype == jnp.bfloat16 else v for k, v in d.items()}
+            return {
+                "obs": cast(obs_b),
+                "next_obs": cast(out_next),
+                "actions": state["actions"][idx, env_idx],
+                "rewards": state["rewards"][idx, env_idx],
+                "dones": dones,
+            }
+
+        # donation keeps the multi-GB ring update in place instead of copying
+        self._write = jax.jit(_write, donate_argnums=0)
+        self._write_timeout = jax.jit(_write_timeout, donate_argnums=0)
+        self._gather = jax.jit(_gather)
+
+    def __len__(self):
+        return (self.capacity if self.full else self.pos) * self.n_envs
+
+    # numpy views for checkpointing (CheckpointCallback np.savez duck-typing)
+    @property
+    def actions(self):
+        return np.asarray(self._state["actions"])
+
+    @property
+    def rewards(self):
+        return np.asarray(self._state["rewards"])
+
+    @property
+    def dones(self):
+        return np.asarray(self._state["dones"])
+
+    @property
+    def timeouts(self):
+        return np.asarray(self._state["timeouts"])
+
+    @property
+    def obs(self):
+        return {k: np.asarray(v) for k, v in self._state["obs"].items()}
+
+    def add(self, obs: dict, actions, rewards, dones, infos) -> None:
+        jnp = self._jnp
+        p = self.pos
+        slot_row = np.full((self.n_envs,), -1, np.int32)
+        for e, info in enumerate(infos):
+            if bool(info.get("TimeLimit.truncated", False)) and "terminal_observation" in info:
+                tpos = self._timeout_pos
+                self._timeout_pos = (tpos + 1) % self.timeout_capacity
+                slot_row[e] = tpos
+                self._state = self._write_timeout(
+                    self._state, jnp.int32(tpos), {k: jnp.asarray(v) for k, v in info["terminal_observation"].items()}
+                )
+        self._state = self._write(
+            self._state,
+            jnp.int32(p),
+            {k: jnp.asarray(v) for k, v in obs.items()},
+            jnp.asarray(actions, jnp.float32),
+            jnp.asarray(rewards, jnp.float32),
+            jnp.asarray(np.asarray(dones), jnp.float32),
+            jnp.asarray(np.array([float(i.get("TimeLimit.truncated", False)) for i in infos], np.float32)),
+            jnp.asarray(slot_row),
+        )
+        self.pos += 1
+        if self.pos == self.capacity:
+            self.full = True
+            self.pos = 0
+
+    def sample(self, batch_size: int, rng: np.random.Generator) -> dict:
+        if self.full:
+            idx = (rng.integers(0, self.capacity - 1, batch_size) + self.pos) % self.capacity
+        else:
+            if self.pos < 2:
+                raise ValueError("DeviceReplayBuffer.sample needs at least two written time slots")
+            idx = rng.integers(0, self.pos - 1, batch_size)
+        env_idx = rng.integers(0, self.n_envs, batch_size)
+        return self._gather(self._state, self._jnp.asarray(idx, self._jnp.int32), self._jnp.asarray(env_idx, self._jnp.int32))

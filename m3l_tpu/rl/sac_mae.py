@@ -32,7 +32,7 @@ import optax
 from flax import nnx
 
 from ..utils.obs import vt_load
-from .replay import ReplayBuffer
+from .replay import DeviceReplayBuffer, ReplayBuffer
 from .sac_policy import SACActorCritic
 from .vecnorm import RewardNormalizer
 
@@ -59,6 +59,7 @@ class SACMAE:
         mae_lr: float = 1e-4,
         norm_reward: bool = True,
         frame_stack: int = 1,
+        device_buffer: bool = False,
         seed: int = 0,
         verbose: int = 0,
     ):
@@ -112,7 +113,8 @@ class SACMAE:
         self.ent_opt = self._ent_tx.init(self.ent_params)
         self.mae_opt = self._mae_tx.init(self.mae_params) if separate_optimizer else ()
 
-        self.buffer = ReplayBuffer(buffer_size, self.n_envs, env.observation_space, action_dim)
+        buffer_cls = DeviceReplayBuffer if device_buffer else ReplayBuffer
+        self.buffer = buffer_cls(buffer_size, self.n_envs, env.observation_space, action_dim)
         self.reward_normalizer = RewardNormalizer(self.n_envs, gamma=gamma, enabled=norm_reward)
         self._action_low = env.action_space.low
         self._action_high = env.action_space.high
