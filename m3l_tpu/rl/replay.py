@@ -195,6 +195,9 @@ class DeviceReplayBuffer:
         self._write = jax.jit(_write, donate_argnums=0)
         self._write_timeout = jax.jit(_write_timeout, donate_argnums=0)
         self._gather = jax.jit(_gather)
+        # un-jitted gather for callers that fuse sampling into a larger jitted
+        # step (SACMAE's multi-gradient-step scan gathers inside its own jit)
+        self._gather_fn = _gather
 
     def __len__(self):
         return (self.capacity if self.full else self.pos) * self.n_envs
@@ -247,7 +250,8 @@ class DeviceReplayBuffer:
             self.full = True
             self.pos = 0
 
-    def sample(self, batch_size: int, rng: np.random.Generator) -> dict:
+    def sample_indices(self, batch_size: int, rng: np.random.Generator):
+        """Draw valid (time-slot, env) sample indices without gathering."""
         if self.full:
             idx = (rng.integers(0, self.capacity - 1, batch_size) + self.pos) % self.capacity
         else:
@@ -255,4 +259,8 @@ class DeviceReplayBuffer:
                 raise ValueError("DeviceReplayBuffer.sample needs at least two written time slots")
             idx = rng.integers(0, self.pos - 1, batch_size)
         env_idx = rng.integers(0, self.n_envs, batch_size)
+        return idx, env_idx
+
+    def sample(self, batch_size: int, rng: np.random.Generator) -> dict:
+        idx, env_idx = self.sample_indices(batch_size, rng)
         return self._gather(self._state, self._jnp.asarray(idx, self._jnp.int32), self._jnp.asarray(env_idx, self._jnp.int32))

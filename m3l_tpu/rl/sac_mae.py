@@ -157,8 +157,8 @@ class SACMAE:
         self._sample_action = sample_action
         self._predict_action = predict_action
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
-        def update_step(mae_p, tgt_p, crit_p, ent_p, actor_p, actor_opt, critic_opt, ent_opt, mae_opt, batch, key):
+        def update_body(carry, batch, key):
+            mae_p, tgt_p, crit_p, ent_p, actor_p, actor_opt, critic_opt, ent_opt, mae_opt = carry
             x = vt_load(batch["obs"], frame_stack=frame_stack)
             x_next = vt_load(batch["next_obs"], frame_stack=frame_stack)
             k_mae, k_pi, k_next = jax.random.split(key, 3)
@@ -244,9 +244,37 @@ class SACMAE:
 
             # 6) polyak target update
             tgt_p = _polyak(crit_p, tgt_p, tau)
-            return mae_p, tgt_p, crit_p, ent_p, actor_p, actor_opt, critic_opt, ent_opt, mae_opt, metrics
+            return (mae_p, tgt_p, crit_p, ent_p, actor_p, actor_opt, critic_opt, ent_opt, mae_opt), metrics
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
+        def update_step(mae_p, tgt_p, crit_p, ent_p, actor_p, actor_opt, critic_opt, ent_opt, mae_opt, batch, key):
+            carry, metrics = update_body(
+                (mae_p, tgt_p, crit_p, ent_p, actor_p, actor_opt, critic_opt, ent_opt, mae_opt), batch, key
+            )
+            return (*carry, metrics)
 
         self._update_step = update_step
+
+        # Fused multi-gradient-step path (HBM replay ring only): one relay
+        # dispatch runs G full SAC updates, sampling each minibatch on device.
+        # The reference pays a host->device batch copy + kernel launch train
+        # per gradient step (models/sac_mae.py:240); over a network-attached
+        # TPU the per-dispatch RTT (~34 ms) would dominate, so the scan is
+        # what makes off-policy update ratios >= 1 practical here.
+        gather_fn = getattr(self.buffer, "_gather_fn", None)
+        if gather_fn is not None:
+            @partial(jax.jit, donate_argnums=(0,))
+            def multi_update(carry, buf_state, idx, env_idx, keys):
+                def step(c, xs):
+                    i, e, k = xs
+                    return update_body(c, gather_fn(buf_state, i, e), k)
+
+                carry, ms = jax.lax.scan(step, carry, (idx, env_idx, keys))
+                return carry, jax.tree.map(lambda m: m[-1], ms)
+
+            self._multi_update = multi_update
+        else:
+            self._multi_update = None
 
     # ------------------------------------------------------------------ #
     @property
@@ -278,8 +306,7 @@ class SACMAE:
             self._last_obs = new_obs
 
             if self.num_timesteps >= self.learning_starts and self.num_timesteps % self.train_freq == 0:
-                for _ in range(self.gradient_steps):
-                    self.last_metrics = self.train_step()
+                self.last_metrics = self.train_steps(self.gradient_steps)
             if callback is not None and callback(self) is False:
                 break
             if self.verbose and episode_num and episode_num % log_interval == 0 and any("episode" in i for i in infos):
@@ -291,6 +318,33 @@ class SACMAE:
                     + " ".join(f"{k}={v:.4f}" for k, v in self.last_metrics.items())
                 )
         return self
+
+    def train_steps(self, n: int) -> dict:
+        """Run ``n`` gradient steps; fused into one dispatch on a device buffer."""
+        if self._multi_update is None:
+            metrics = self.last_metrics
+            for _ in range(n):
+                metrics = self.train_step()
+            return metrics
+        buf = self.buffer
+        if len(buf) < self.batch_size or (not buf.full and buf.pos < 2):
+            return self.last_metrics
+        idx, env_idx = buf.sample_indices(n * self.batch_size, self._np_rng)
+        self._key, k = jax.random.split(self._key)
+        keys = jax.random.split(k, n)
+        carry = (self.mae_params, self.target_params, self.critic_params, self.ent_params, self.actor_params,
+                 self.actor_opt, self.critic_opt, self.ent_opt, self.mae_opt)
+        carry, metrics = self._multi_update(
+            carry,
+            buf._state,
+            jnp.asarray(idx.reshape(n, self.batch_size), jnp.int32),
+            jnp.asarray(env_idx.reshape(n, self.batch_size), jnp.int32),
+            keys,
+        )
+        (self.mae_params, self.target_params, self.critic_params, self.ent_params, self.actor_params,
+         self.actor_opt, self.critic_opt, self.ent_opt, self.mae_opt) = carry
+        self._n_updates += n
+        return {k_: float(v) for k_, v in metrics.items()}
 
     def train_step(self) -> dict:
         if len(self.buffer) < self.batch_size or (not self.buffer.full and self.buffer.pos < 2):

@@ -118,3 +118,24 @@ def test_sac_predict_bounds():
     assert a.shape == (1, env.action_space.shape[0])
     assert (np.abs(a) <= 1.0).all()
     env.close()
+
+
+def test_sac_fused_multi_update_device_buffer():
+    """G gradient steps fuse into one dispatch on the HBM ring and keep
+    learning semantics: n_updates advances by G per train event, metrics are
+    finite, and params move."""
+    import jax
+
+    model, env = make_model(n_envs=2, device_buffer=True, gradient_steps=4, batch_size=8)
+    assert model._multi_update is not None
+    a0 = jax.tree.map(lambda x: np.asarray(x).copy(), model.actor_params)
+    model.learn(total_timesteps=32)
+    env.close()
+    assert model._n_updates % 4 == 0 and model._n_updates >= 4
+    for k in ["actor_loss", "critic_loss", "ent_coef", "mae_loss"]:
+        assert k in model.last_metrics and np.isfinite(model.last_metrics[k])
+    moved = any(
+        not np.allclose(np.asarray(x), y)
+        for x, y in zip(jax.tree.leaves(model.actor_params), jax.tree.leaves(a0))
+    )
+    assert moved
