@@ -115,6 +115,16 @@ class DeviceReplayBuffer:
     ring must be large enough that an entry is not overwritten while its
     transition is still sampleable: timeout_capacity >= capacity * n_envs /
     min_episode_length.
+
+    Storage layout is tile-aware: each obs key is kept as
+    ``(capacity, n_envs, prod(shape))`` — flat trailing dim — and reshaped to
+    the true obs shape only after the minibatch gather. TPU HBM tiles the two
+    minor dimensions to (8, 128) sublanes x lanes, so a ring stored at its
+    natural shape (e.g. bf16 tactile ``(cap, E, 2, 6, 32, 32)``) pays a 4x
+    padding expansion (last dim 32 -> 128) plus layout-change copies inside
+    any jitted consumer — measured 28 GB program HBM for a 3.4 GB ring. The
+    flat layout's minor dims (n_envs, 12288) tile exactly, so the ring costs
+    its unpadded size and gathers consume it in place.
     """
 
     def __init__(self, capacity: int, n_envs: int, obs_space, action_dim: int, timeout_capacity: int = 4096):
@@ -125,14 +135,17 @@ class DeviceReplayBuffer:
         self.capacity = max(capacity // n_envs, 1)
         self.n_envs = n_envs
         self._obs_dtypes = {}
+        self._obs_shapes = {}
         store_map = {np.dtype(np.float32): jnp.bfloat16, np.dtype(np.float16): jnp.bfloat16}
         obs = {}
         tobs = {}
         for k, sp in obs_space.spaces.items():
             store = store_map.get(np.dtype(sp.dtype), sp.dtype)
-            obs[k] = jnp.zeros((self.capacity, n_envs, *sp.shape), store)
-            tobs[k] = jnp.zeros((timeout_capacity, *sp.shape), store)
+            flat = int(np.prod(sp.shape))
+            obs[k] = jnp.zeros((self.capacity, n_envs, flat), store)
+            tobs[k] = jnp.zeros((timeout_capacity, flat), store)
             self._obs_dtypes[k] = sp.dtype
+            self._obs_shapes[k] = tuple(sp.shape)
         self._state = {
             "obs": obs,
             "actions": jnp.zeros((self.capacity, n_envs, action_dim), jnp.float32),
@@ -149,7 +162,12 @@ class DeviceReplayBuffer:
 
         def _write(state, p, obs_in, actions, rewards, dones, timeouts, slot_row):
             new = dict(state)
-            new["obs"] = {k: state["obs"][k].at[p].set(obs_in[k].astype(state["obs"][k].dtype)) for k in obs_in}
+            new["obs"] = {
+                k: state["obs"][k]
+                .at[p]
+                .set(obs_in[k].reshape(self.n_envs, -1).astype(state["obs"][k].dtype))
+                for k in obs_in
+            }
             new["actions"] = state["actions"].at[p].set(actions)
             new["rewards"] = state["rewards"].at[p].set(rewards)
             new["dones"] = state["dones"].at[p].set(dones)
@@ -160,7 +178,9 @@ class DeviceReplayBuffer:
         def _write_timeout(state, tpos, term_obs):
             new = dict(state)
             new["timeout_obs"] = {
-                k: state["timeout_obs"][k].at[tpos].set(term_obs[k].astype(state["timeout_obs"][k].dtype))
+                k: state["timeout_obs"][k]
+                .at[tpos]
+                .set(term_obs[k].reshape(-1).astype(state["timeout_obs"][k].dtype))
                 for k in term_obs
             }
             return new
@@ -182,7 +202,12 @@ class DeviceReplayBuffer:
                 sel = use_t.reshape((-1,) + (1,) * (t.ndim - 1))
                 out_next[k] = jnp.where(sel, t, next_b[k])
             dones = state["dones"][idx, env_idx] * (1.0 - state["timeouts"][idx, env_idx])
-            cast = lambda d: {k: v.astype(self._obs_dtypes[k]) if v.dtype == jnp.bfloat16 else v for k, v in d.items()}
+            def cast(d):
+                out = {}
+                for k, v in d.items():
+                    v = v.reshape((v.shape[0],) + self._obs_shapes[k])
+                    out[k] = v.astype(self._obs_dtypes[k]) if v.dtype == jnp.bfloat16 else v
+                return out
             return {
                 "obs": cast(obs_b),
                 "next_obs": cast(out_next),
@@ -221,7 +246,10 @@ class DeviceReplayBuffer:
 
     @property
     def obs(self):
-        return {k: np.asarray(v) for k, v in self._state["obs"].items()}
+        return {
+            k: np.asarray(v).reshape((self.capacity, self.n_envs) + self._obs_shapes[k])
+            for k, v in self._state["obs"].items()
+        }
 
     def add(self, obs: dict, actions, rewards, dones, infos) -> None:
         jnp = self._jnp
