@@ -19,6 +19,18 @@ update ordering:
 5. actor update vs the UPDATED critic (reference :354 uses post-step critic);
    actor Adam covers actor heads + shared extractor (incl. the MAE encoder);
 6. polyak(critic -> target, tau).
+
+Practitioner note — ``norm_reward`` (default True for flag parity with
+reference Train_sacmae.py:58,137): running-return reward normalization is
+sound for on-policy PPO but interacts badly with a replay buffer, because
+each transition stores the reward scaled by the normalizer's σ *at
+collection time*. Early transitions (tiny σ, rewards clipped at ±10) then
+coexist in the buffer with late ones (σ grown 100×), and the critic
+bootstraps on a reward scale that varies by orders of magnitude across the
+batch — measured on FakeInsertion as persistent Q overestimation (~+8 in
+normalized units vs a true value ≈ −1) and a flat learning curve. Pass
+``norm_reward=False`` for SAC; the recorded converging curve in BASELINE.md
+uses raw rewards.
 """
 from __future__ import annotations
 
