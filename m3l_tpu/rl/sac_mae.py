@@ -16,8 +16,11 @@ update ordering:
 3. ent-coef Adam step on -(log_alpha * stop_grad(logp + target_entropy));
 4. critic MSE to min-twin target (grads do NOT reach the shared extractor —
    SB3 excludes it from the critic optimizer);
-5. actor update vs the UPDATED critic (reference :354 uses post-step critic);
-   actor Adam covers actor heads + shared extractor (incl. the MAE encoder);
+5. actor update vs the UPDATED critic (reference :354 uses post-step critic).
+   Joint mode: actor Adam covers actor heads + shared extractor (incl. the
+   MAE encoder). Separate mode: the actor consumes stop-gradient features —
+   the MAE optimizer owns the representation (see the deviation note at the
+   actor update in the code);
 6. polyak(critic -> target, tau).
 
 Practitioner note — ``norm_reward`` (default True for flag parity with
@@ -233,12 +236,23 @@ class SACMAE:
             crit_p = optax.apply_updates(crit_p, upd)
             metrics["critic_loss"] = critic_loss
 
-            # 5) actor update against the refreshed critic; Adam covers
-            #    actor heads + shared extractor (+ MAE loss in joint mode)
+            # 5) actor update against the refreshed critic. Joint mode: Adam
+            #    covers actor heads + shared extractor + MAE loss (reference
+            #    intent). Separate mode: the MAE optimizer owns the
+            #    representation OUTRIGHT — the actor consumes stop-gradient
+            #    features. Deviation from SB3's shared-extractor default
+            #    (actor optimizer includes the extractor), adopted because
+            #    the Q-maximizing gradient through the encoder lets the actor
+            #    inflate Q by warping the features the critic evaluates on:
+            #    measured on FakeInsertion as unbounded positive Q drift
+            #    (actor_loss -> -195 vs a +45 feasible ceiling) with a flat
+            #    return curve. SB3's own docs recommend
+            #    share_features_extractor=False for SAC for the same reason;
+            #    stop-gradient is the fused-update equivalent.
             def actor_loss_fn(params):
                 ap, mp = params
                 model = merge(mp, tgt_p, crit_p, ent_p, ap)
-                feats = model.features.from_packed(x)
+                feats = feats_sg if separate else model.features.from_packed(x)
                 a, logp = model.actor.action_log_prob(feats, k_pi)
                 q_pi = jnp.min(model.critic(feats, a), axis=-1)
                 loss = jnp.mean(ent_coef * logp - q_pi)
