@@ -121,7 +121,7 @@ class VTMAE(nnx.Module):
             else:
                 img_tok = self.encoder.image_embed(image_patches.astype(self.dtype))
             if self.use_sincosmod_encodings:
-                img_tok = img_tok + self.encoder_modality_embedding(jnp.array(0))
+                img_tok = img_tok + self.encoder_modality_embedding.embedding[0]
                 img_tok = img_tok + self._img_pos_enc.astype(img_tok.dtype)
             parts.append(img_tok)
         if c.num_tactiles > 0 and use_tactile:
@@ -135,7 +135,7 @@ class VTMAE(nnx.Module):
                 nt = c.num_tactile_patches_per_sensor
                 mod = jnp.concatenate(
                     [
-                        jnp.broadcast_to(self.encoder_modality_embedding(jnp.array(1 + i)), (nt, c.dim))
+                        jnp.broadcast_to(self.encoder_modality_embedding.embedding[1 + i], (nt, c.dim))
                         for i in range(c.num_tactiles)
                     ],
                     axis=0,
@@ -171,14 +171,14 @@ class VTMAE(nnx.Module):
         n_img = c.num_image_patches if use_vision else 0
         parts = []
         if use_vision:
-            img = tokens[:, :n_img] + self.decoder_modality_embedding(jnp.array(0)).astype(tokens.dtype)
+            img = tokens[:, :n_img] + self.decoder_modality_embedding.embedding[0].astype(tokens.dtype)
             img = img + self._img_pos_dec.astype(tokens.dtype)
             parts.append(img)
         if c.num_tactiles > 0 and use_tactile:
             nt = c.num_tactile_patches_per_sensor
             mod = jnp.concatenate(
                 [
-                    jnp.broadcast_to(self.decoder_modality_embedding(jnp.array(1 + i)), (nt, self.decoder_dim))
+                    jnp.broadcast_to(self.decoder_modality_embedding.embedding[1 + i], (nt, self.decoder_dim))
                     for i in range(c.num_tactiles)
                 ],
                 axis=0,

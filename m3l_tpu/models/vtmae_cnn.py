@@ -45,7 +45,7 @@ class VTMAECnn(VTMAE):
         if use_vision:
             img_tok = self.early_conv_vision(x["image"].astype(self.dtype))
             if self.use_sincosmod_encodings:
-                img_tok = img_tok + self.encoder_modality_embedding(jnp.array(0))
+                img_tok = img_tok + self.encoder_modality_embedding.embedding[0]
                 img_tok = img_tok + self._img_pos_enc.astype(img_tok.dtype)
             parts.append(img_tok)
         if c.num_tactiles > 0 and use_tactile:
@@ -55,7 +55,7 @@ class VTMAECnn(VTMAE):
             if self.use_sincosmod_encodings:
                 nt = c.num_tactile_patches_per_sensor
                 mod = jnp.concatenate(
-                    [jnp.broadcast_to(self.encoder_modality_embedding(jnp.array(1 + i)), (nt, c.dim)) for i in range(c.num_tactiles)],
+                    [jnp.broadcast_to(self.encoder_modality_embedding.embedding[1 + i], (nt, c.dim)) for i in range(c.num_tactiles)],
                     axis=0,
                 )
                 tac_tok = tac_tok + mod[None].astype(tac_tok.dtype) + self._tac_pos_enc.astype(tac_tok.dtype)
