@@ -147,3 +147,18 @@ def test_bfloat16_compute_path():
     loss = mae(batch(), jax.random.PRNGKey(0))
     assert loss.dtype == jnp.float32  # loss accumulated in fp32
     assert bool(jnp.isfinite(loss))
+
+
+def test_vision_only_no_tactiles():
+    """num_tactiles=0 (MuJoCoPixels --state_type vision): the modality
+    embedding table has a single row, which crashed flax nnx.Embed's
+    num_embeddings==1 scalar-index special case before the static
+    row-indexing fix. Forward loss + embeddings must work and be finite."""
+    mae = make_mae(num_tactiles=0)
+    x = {"image": batch(num_tactiles=0)["image"]}
+    loss = mae(x, jax.random.PRNGKey(0))
+    assert jnp.isfinite(loss)
+    emb = mae.get_embeddings(x)
+    cfg = mae.config
+    assert emb.shape == (2, cfg.num_image_patches, cfg.dim)
+    assert bool(jnp.all(jnp.isfinite(emb)))
