@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     # PPO-MAE.
     parser.add_argument("--separate_optimizer", type=str2bool, default=False)
     # TPU-specific.
+    parser.add_argument(
+        "--allow_fake", type=str2bool, default=False,
+        help="substitute FakeInsertionEnv when a real env family's package is missing (off by default: a broken install should fail loudly, reference envs/__init__.py has no fallback)",
+    )
     parser.add_argument("--compute_dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     parser.add_argument("--subproc", type=str2bool, default=True)
     parser.add_argument("--verbose", type=int, default=1)
@@ -158,6 +162,7 @@ def main(argv=None):
             frame_stack=config.frame_stack,
             no_rotation=config.no_rotation,
             use_latch=config.use_latch,
+            allow_fake=config.allow_fake,
         )
         for i in range(config.n_envs)
     ]

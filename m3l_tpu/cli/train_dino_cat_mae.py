@@ -103,7 +103,7 @@ def main(argv=None):
     config = build_parser().parse_args(argv)
     np.random.seed(config.seed)
     env_fns = [
-        make_env(config.env, i, config.seed, config.state_type, camera_idx=config.camera_idx, frame_stack=config.frame_stack, no_rotation=config.no_rotation, use_latch=config.use_latch, image_size=70, tactile_size=70)
+        make_env(config.env, i, config.seed, config.state_type, camera_idx=config.camera_idx, frame_stack=config.frame_stack, no_rotation=config.no_rotation, use_latch=config.use_latch, image_size=70, tactile_size=70, allow_fake=config.allow_fake)
         for i in range(config.n_envs)
     ]
     env = make_vec_env(env_fns, subproc=config.subproc)

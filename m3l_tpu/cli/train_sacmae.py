@@ -60,8 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     # SAC-MAE
     parser.add_argument("--separate_optimizer", type=str2bool, default=True)
     # TPU-specific
+    parser.add_argument("--allow_fake", type=str2bool, default=False)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     parser.add_argument("--device_buffer", type=str2bool, default=False, help="keep the replay ring in device HBM (no per-gradient-step host->device batch copy)")
+    parser.add_argument("--timeout_capacity", type=int, default=4096, help="device-buffer truncated-episode side-ring slots; raise for large rings with short episodes")
     parser.add_argument("--subproc", type=str2bool, default=True)
     parser.add_argument("--verbose", type=int, default=1)
     parser.add_argument("--tensorboard_dir", type=str, default=None, help="enable TensorBoard logging")
@@ -129,6 +131,7 @@ def build_model(config, env):
         separate_optimizer=config.separate_optimizer,
         norm_reward=config.norm_reward,
         device_buffer=config.device_buffer,
+        timeout_capacity=config.timeout_capacity,
         frame_stack=config.frame_stack,
         seed=config.seed,
         verbose=config.verbose,
@@ -154,6 +157,7 @@ def main(argv=None):
             frame_stack=config.frame_stack,
             no_rotation=config.no_rotation,
             use_latch=config.use_latch,
+            allow_fake=config.allow_fake,
         )
         for i in range(config.n_envs)
     ]

@@ -189,3 +189,166 @@ def flash_attention(
 def use_flash() -> bool:
     """Flash path only on real TPU backends (interpret mode is test-only)."""
     return jax.default_backend() == "tpu"
+
+
+# --------------------------------------------------------------------- #
+# v2: qkv-fused kernel. Takes the packed (B, N, 3*H*Dh) output of the qkv
+# projection directly and returns (B, N, H*Dh) ready for the output
+# projection. The v1 interface above needs XLA to materialize 3 head-split
+# transposes of q/k/v plus the inverse transpose of the output — ~6 HBM
+# relayout passes (~400 MB/layer at M3L shapes, measured ~1.5 ms of the
+# 2.8 ms/layer). Here the head split/merge happens on VMEM-resident blocks
+# inside the kernel (vector shuffles, no HBM traffic), and the backward
+# emits the packed dqkv so the qkv-projection backward fuses cleanly too.
+# --------------------------------------------------------------------- #
+_BLOCK_B_FWD = 8
+_BLOCK_B_BWD = 4
+
+
+def _split_heads(blk: jnp.ndarray, heads: int, part: int):
+    """(G, N, 3*H*Dh) -> (H*G, N, Dh) for part in {0:q, 1:k, 2:v}.
+
+    Head h of batch row g lands at leading index h*G + g. Implemented as
+    per-head lane slices + leading-axis concat: Mosaic rejects reshapes that
+    split the lane (minor) dimension (`vector<...x256xbf16> ->
+    vector<...x4x64xbf16>` fails infer-vector-layout), but offset lane
+    slices and concats lower fine."""
+    g, n, thd = blk.shape
+    hd = thd // 3
+    dh = hd // heads
+    base = part * hd
+    hs = [blk[:, :, base + h * dh : base + (h + 1) * dh] for h in range(heads)]
+    return jnp.concatenate(hs, axis=0) if heads > 1 else hs[0]
+
+
+def _merge_heads(x: jnp.ndarray, g: int, heads: int):
+    """(H*G, N, Dh) -> (G, N, H*Dh) (inverse of :func:`_split_heads`)."""
+    if heads == 1:
+        return x
+    return jnp.concatenate([x[h * g : (h + 1) * g] for h in range(heads)], axis=-1)
+
+
+def _softmax_rows(s: jnp.ndarray) -> jnp.ndarray:
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_qkv_kernel(qkv_ref, bias_ref, o_ref, *, scale: float, heads: int):
+    blk = qkv_ref[:]  # (G, N, 3*H*Dh)
+    g = blk.shape[0]
+    q = _split_heads(blk, heads, 0)
+    k = _split_heads(blk, heads, 1)
+    v = _split_heads(blk, heads, 2)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    s = s * scale  # (H*G, N, N)
+    if bias_ref is not None:
+        b = bias_ref[:]  # (G, N)
+        s = s.reshape(heads, g, *s.shape[1:]) + b[None, :, None, :]
+        s = s.reshape(heads * g, *s.shape[2:])
+    a = _softmax_rows(s)
+    o = jax.lax.dot_general(a.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    o_ref[:] = _merge_heads(o.astype(o_ref.dtype), g, heads)
+
+
+def _bwd_qkv_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, *, scale: float, heads: int):
+    blk = qkv_ref[:]
+    g = blk.shape[0]
+    q = _split_heads(blk, heads, 0)
+    k = _split_heads(blk, heads, 1)
+    v = _split_heads(blk, heads, 2)
+    go = g_ref[:]  # (G, N, H*Dh)
+    dh = go.shape[-1] // heads
+    parts = [go[:, :, h * dh : (h + 1) * dh] for h in range(heads)]
+    gout = jnp.concatenate(parts, axis=0) if heads > 1 else parts[0]  # (H*G, N, Dh)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    s = s * scale
+    if bias_ref is not None:
+        b = bias_ref[:]
+        s = s.reshape(heads, g, *s.shape[1:]) + b[None, :, None, :]
+        s = s.reshape(heads * g, *s.shape[2:])
+    a = _softmax_rows(s)  # (H*G, N, N) f32
+
+    gf = gout.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dv = jax.lax.dot_general(a, gf, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    da = jax.lax.dot_general(gf, vf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+    ds = ds * scale
+    dq = jax.lax.dot_general(ds, k.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds, q.astype(jnp.float32), (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    dt = dqkv_ref.dtype
+    dqkv_ref[:] = jnp.concatenate(
+        [_merge_heads(dq.astype(dt), g, heads), _merge_heads(dk.astype(dt), g, heads), _merge_heads(dv.astype(dt), g, heads)],
+        axis=-1,
+    )
+
+
+def _qkv_call(qkv, bias, scale, heads, interpret, *, fwd: bool, g_out=None):
+    b, n, thd = qkv.shape
+    hd = thd // 3
+    limit = (_BLOCK_B_FWD if fwd else _BLOCK_B_BWD) if qkv.dtype == jnp.bfloat16 else (_BLOCK_B_FWD if fwd else _BLOCK_B_BWD) // 2
+    g = _block(b, max(limit, 1))
+    qspec = pl.BlockSpec((g, n, thd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((g, n, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((g, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if fwd:
+        if bias is not None:
+            kern = functools.partial(_fwd_qkv_kernel, scale=scale, heads=heads)
+            in_specs, args = [qspec, bspec], (qkv, bias)
+        else:
+            kern = lambda q_ref, o_ref: _fwd_qkv_kernel(q_ref, None, o_ref, scale=scale, heads=heads)
+            in_specs, args = [qspec], (qkv,)
+        return pl.pallas_call(
+            kern, grid=(b // g,), in_specs=in_specs, out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype), interpret=interpret,
+        )(*args)
+    if bias is not None:
+        kern = functools.partial(_bwd_qkv_kernel, scale=scale, heads=heads)
+        in_specs, args = [qspec, bspec, ospec], (qkv, bias, g_out)
+    else:
+        kern = lambda q_ref, g_ref, d_ref: _bwd_qkv_kernel(q_ref, None, g_ref, d_ref, scale=scale, heads=heads)
+        in_specs, args = [qspec, ospec], (qkv, g_out)
+    return pl.pallas_call(
+        kern, grid=(b // g,), in_specs=in_specs, out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, n, thd), qkv.dtype), interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _flash_qkv(qkv, bias, scale, heads, interpret):
+    return _qkv_call(qkv, bias, scale, heads, interpret, fwd=True)
+
+
+def _flash_qkv_fwd(qkv, bias, scale, heads, interpret):
+    return _qkv_call(qkv, bias, scale, heads, interpret, fwd=True), (qkv, bias)
+
+
+def _flash_qkv_bwd(scale, heads, interpret, res, g_out):
+    qkv, bias = res
+    dqkv = _qkv_call(qkv, bias, scale, heads, interpret, fwd=False, g_out=g_out)
+    return dqkv, None
+
+
+_flash_qkv.defvjp(_flash_qkv_fwd, _flash_qkv_bwd)
+
+
+def flash_attention_qkv(
+    qkv: jnp.ndarray,  # (B, N, 3*H*Dh) packed projection output
+    num_heads: int,
+    *,
+    key_mask: Optional[jnp.ndarray] = None,  # (B, N) bool, True = attend
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused attention on the packed qkv tensor -> (B, N, H*Dh)."""
+    b, n, thd = qkv.shape
+    dh = thd // (3 * num_heads)
+    if scale is None:
+        scale = dh**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bias = None
+    if key_mask is not None:
+        bias = jnp.where(key_mask, 0.0, -1e30).astype(jnp.float32)  # (B, N)
+    return _flash_qkv(qkv, bias, float(scale), num_heads, interpret)

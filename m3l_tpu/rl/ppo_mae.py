@@ -251,14 +251,16 @@ class PPOMAE:
                         ml, mg = jax.value_and_grad(mae_loss_chunk)(mp, x_chunk, k)
                         upd, new_mopt = mae_tx.update(mg, mopt, mp)
                         new_mp = optax.apply_updates(mp, upd)
-                        # after KL early-stop the whole minibatch is a no-op:
-                        # freeze params AND optimizer state (moments, step
-                        # count) like the policy optimizer below — the
-                        # reference simply stops training (ppo_mae.py:334-338)
-                        g = cont.astype(jnp.float32)
-                        mp = jax.tree.map(lambda new, old: jnp.where(g > 0, new, old), new_mp, mp)
-                        mopt = jax.tree.map(lambda new, old: jnp.where(g > 0, new, old), new_mopt, mopt)
-                        return (mp, mopt), ml
+                        if target_kl is not None:
+                            # after KL early-stop the whole minibatch is a
+                            # no-op: freeze params AND optimizer state
+                            # (moments, step count) like the policy optimizer
+                            # below — the reference simply stops training
+                            # (ppo_mae.py:334-338)
+                            g = cont.astype(jnp.float32)
+                            new_mp = jax.tree.map(lambda new, old: jnp.where(g > 0, new, old), new_mp, mp)
+                            new_mopt = jax.tree.map(lambda new, old: jnp.where(g > 0, new, old), new_mopt, mopt)
+                        return (new_mp, new_mopt), ml
 
                     (mae_params, mae_opt), mls = jax.lax.scan(mae_step, (mae_params, mae_opt), (chunked, mae_keys))
                     mae_loss_val = mls[-1]
@@ -287,7 +289,16 @@ class PPOMAE:
                 (_, metrics), grads = jax.value_and_grad(total_loss, has_aux=True)((mae_params, other_params))
                 if separate:
                     metrics = dict(metrics, mae_loss=mae_loss_val)
-                kl_ok = jnp.array(True) if target_kl is None else metrics["approx_kl"] <= 1.5 * target_kl
+                if target_kl is None:
+                    # reference default (SB3 PPO target_kl=None): no early
+                    # stop can ever fire, so skip the continue-flag gating —
+                    # the masked-apply arithmetic below costs ~5 full
+                    # param+optimizer tree passes (~1.5 GB HBM) per minibatch
+                    upd, pol_opt = policy_tx.update(grads, pol_opt, (mae_params, other_params))
+                    mae_params, other_params = optax.apply_updates((mae_params, other_params), upd)
+                    metrics = dict(metrics, executed=jnp.ones(()))
+                    return (mae_params, other_params, pol_opt, mae_opt, cont), metrics
+                kl_ok = metrics["approx_kl"] <= 1.5 * target_kl
                 apply = jnp.logical_and(cont, kl_ok)
                 gmask = apply.astype(jnp.float32)
                 grads = jax.tree.map(lambda g: g * gmask, grads)

@@ -157,6 +157,11 @@ class DeviceReplayBuffer:
         }
         self.timeout_capacity = timeout_capacity
         self._timeout_pos = 0
+        # host-side guard against timeout-ring wraparound clobbering a slot
+        # whose transition is still sampleable (ADVICE r2): records the global
+        # write count at each slot's last allocation
+        self._slot_alloc_write = np.full(timeout_capacity, np.iinfo(np.int64).min, np.int64)
+        self._write_count = 0
         self.pos = 0
         self.full = False
 
@@ -246,8 +251,20 @@ class DeviceReplayBuffer:
 
     @property
     def obs(self):
+        # bf16 storage is cast to float16 for the numpy view: np.load reads a
+        # saved ml_dtypes bfloat16 array back as opaque void16, so checkpoints
+        # must carry a self-describing dtype — float16 matches the host
+        # ReplayBuffer's storage format (ADVICE r2)
+        def view(v):
+            a = np.asarray(v)
+            if a.dtype.names is None and a.dtype.kind not in "fiu":  # ml_dtypes bf16
+                a = a.astype(np.float16)
+            elif str(a.dtype) == "bfloat16":
+                a = a.astype(np.float16)
+            return a
+
         return {
-            k: np.asarray(v).reshape((self.capacity, self.n_envs) + self._obs_shapes[k])
+            k: view(v).reshape((self.capacity, self.n_envs) + self._obs_shapes[k])
             for k, v in self._state["obs"].items()
         }
 
@@ -259,6 +276,19 @@ class DeviceReplayBuffer:
             if bool(info.get("TimeLimit.truncated", False)) and "terminal_observation" in info:
                 tpos = self._timeout_pos
                 self._timeout_pos = (tpos + 1) % self.timeout_capacity
+                # the previous tenant of this slot is still sampleable if the
+                # main ring has not wrapped past its referencing row yet
+                if self._write_count - self._slot_alloc_write[tpos] < self.capacity:
+                    import warnings
+
+                    warnings.warn(
+                        f"DeviceReplayBuffer timeout ring wrapped after {self._write_count - self._slot_alloc_write[tpos]} "
+                        f"writes (< capacity {self.capacity}): a live truncated transition's next_obs is being "
+                        f"overwritten. Raise timeout_capacity (currently {self.timeout_capacity}).",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                self._slot_alloc_write[tpos] = self._write_count
                 slot_row[e] = tpos
                 self._state = self._write_timeout(
                     self._state, jnp.int32(tpos), {k: jnp.asarray(v) for k, v in info["terminal_observation"].items()}
@@ -274,6 +304,7 @@ class DeviceReplayBuffer:
             jnp.asarray(slot_row),
         )
         self.pos += 1
+        self._write_count += 1
         if self.pos == self.capacity:
             self.full = True
             self.pos = 0

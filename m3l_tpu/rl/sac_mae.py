@@ -75,8 +75,10 @@ class SACMAE:
         norm_reward: bool = True,
         frame_stack: int = 1,
         device_buffer: bool = False,
+        timeout_capacity: int = 4096,
         seed: int = 0,
         verbose: int = 0,
+        mesh=None,
     ):
         self.env = env
         self.n_envs = env.num_envs
@@ -118,6 +120,16 @@ class SACMAE:
             self.ent_params = jax.tree.map(lambda x: jnp.full_like(x, self._init_log_ent), self.ent_params)
         # target starts as a copy of the online critic
         self.target_params = jax.tree.map(lambda c: c.copy(), _clone_renamed(self.critic_params, self.target_params))
+        self.mesh = mesh
+        if mesh is not None:
+            # GSPMD placement: mp-rule kernels sharded, everything else
+            # replicated; batches dp-sharded at train_step (mirrors PPOMAE)
+            from ..train.mesh import shard_param_state
+
+            (self.mae_params, self.target_params, self.critic_params, self.ent_params, self.actor_params) = (
+                shard_param_state(p, mesh)
+                for p in (self.mae_params, self.target_params, self.critic_params, self.ent_params, self.actor_params)
+            )
 
         self._actor_tx = optax.adam(learning_rate)
         self._critic_tx = optax.adam(learning_rate)
@@ -128,8 +140,12 @@ class SACMAE:
         self.ent_opt = self._ent_tx.init(self.ent_params)
         self.mae_opt = self._mae_tx.init(self.mae_params) if separate_optimizer else ()
 
-        buffer_cls = DeviceReplayBuffer if device_buffer else ReplayBuffer
-        self.buffer = buffer_cls(buffer_size, self.n_envs, env.observation_space, action_dim)
+        if device_buffer:
+            self.buffer = DeviceReplayBuffer(
+                buffer_size, self.n_envs, env.observation_space, action_dim, timeout_capacity=timeout_capacity
+            )
+        else:
+            self.buffer = ReplayBuffer(buffer_size, self.n_envs, env.observation_space, action_dim)
         self.reward_normalizer = RewardNormalizer(self.n_envs, gamma=gamma, enabled=norm_reward)
         self._action_low = env.action_space.low
         self._action_high = env.action_space.high
@@ -307,6 +323,11 @@ class SACMAE:
     def _states(self):
         return (self.mae_params, self.target_params, self.critic_params, self.ent_params, self.actor_params)
 
+    @property
+    def policy(self):
+        """Reassembled SACActorCritic module (mirrors PPOMAE.policy)."""
+        return nnx.merge(self._graphdef, *self._states, self._rest)
+
     def _act(self, obs) -> np.ndarray:
         if self.num_timesteps < self.learning_starts:
             return np.stack([self.env.action_space.sample() for _ in range(self.n_envs)])
@@ -376,6 +397,10 @@ class SACMAE:
         if len(self.buffer) < self.batch_size or (not self.buffer.full and self.buffer.pos < 2):
             return self.last_metrics
         batch = self.buffer.sample(self.batch_size, self._np_rng)
+        if self.mesh is not None:
+            from ..train.mesh import put_batch
+
+            batch = put_batch(batch, self.mesh)
         self._key, k = jax.random.split(self._key)
         out = self._update_step(
             self.mae_params,

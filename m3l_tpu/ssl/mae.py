@@ -94,3 +94,31 @@ class MAEModule(SSLModule):
         pred, mask = self(x, key)
         loss = self.compute_loss(x, pred, mask)
         return loss, {"loss": loss}
+
+    def reconstruction_images(self, batch: dict, key: jax.Array, max_images: int = 8) -> dict:
+        """Masked/reconstructed image grids for the Trainer's image logging
+        (reference mae.py:214-259 wandb reconstruction logging). Returns
+        {original, masked, reconstruction} as (H, B*W, 3) strips — only the
+        first 3 channels of multi-frame inputs are displayed."""
+        from ..ops.patches import unpatchify
+
+        x = batch["image"][:max_images]
+        p = self.patch_size
+        gh, gw = x.shape[1] // p, x.shape[2] // p
+        pred, mask = self(x, key)
+        target = patchify(x, p, p).astype(jnp.float32)
+        if self.norm_pix_loss:
+            mean = target.mean(axis=-1, keepdims=True)
+            std = (target.var(axis=-1, keepdims=True) + 1e-6) ** 0.5
+            pred = pred.astype(jnp.float32) * std + mean  # undo target norm for display
+        m = mask[..., None]
+        recon_patches = jnp.where(m > 0, pred.astype(jnp.float32), target)
+        masked_patches = jnp.where(m > 0, 0.5, target)
+        c = x.shape[-1]
+
+        def strip(patches):
+            img = unpatchify(patches, gh, gw, p, p, c)
+            img = img[..., :3] if c >= 3 else jnp.repeat(img[..., :1], 3, -1)
+            return jnp.concatenate(list(img), axis=1)  # (H, B*W, 3)
+
+        return {"original": strip(target), "masked": strip(masked_patches), "reconstruction": strip(recon_patches)}

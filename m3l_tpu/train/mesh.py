@@ -89,6 +89,18 @@ def shard_param_state(state, mesh: Mesh):
     return nnx.from_flat_state(placed)
 
 
+def shard_module_params(module, mesh: Mesh) -> None:
+    """In-place GSPMD placement of an nnx module's parameters on the mesh
+    (mp-rule kernels sharded, everything else replicated). The Trainer calls
+    this before building the optimizer so optimizer moments inherit the same
+    shardings — the tensor-parallel equivalent of the reference trainer's
+    strategy plumbing (reference tactile_ssl/trainer/trainer.py:101-108)."""
+    from flax import nnx
+
+    state = nnx.state(module)
+    nnx.update(module, shard_param_state(state, mesh))
+
+
 def put_tree(tree, sharding: NamedSharding):
     """device_put every array leaf of a pytree with one sharding."""
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

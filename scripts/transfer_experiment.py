@@ -1,0 +1,240 @@
+"""SSL -> probe transfer experiment (VERDICT r2 item #2).
+
+Reproduces the reference's tactile_ssl workflow end-to-end on synthetic
+DIGIT-style data (reference tactile_ssl/downstream_task/sl_module.py:18-148 +
+test/test_t1_force.py:66-122): pretrain an encoder with MAE (and optionally
+DINO), then train T1-force and T2-slip probes in three regimes —
+pretrained-frozen, random-frozen, end-to-end — and evaluate through the
+TacBench harness (bootstrap CI95, Pearson r, balanced accuracy) with plots.
+
+The claim under test: pretrained-frozen > random-frozen (and ~ e2e), i.e.
+the SSL representation carries the task information.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/transfer_experiment.py \
+      --out runs/transfer --algos mae,dino --epochs_ssl 30 --epochs_probe 10
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def get_loader(split: dict, batch_size: int, shuffle=True, seed=0):
+    from m3l_tpu.data.datasets import ArrayDataset, DataLoader
+
+    def to_float(item):
+        item = dict(item)
+        item["image"] = item["image"].astype(np.float32) / 255.0
+        return item
+
+    return DataLoader(ArrayDataset(split, transform=to_float), batch_size=batch_size, shuffle=shuffle, seed=seed)
+
+
+def build_encoder(rngs, dtype):
+    from m3l_tpu.models.vit import VisionTransformer
+
+    return VisionTransformer(
+        img_size=(96, 96),
+        patch_size=16,
+        in_chans=6,
+        embed_dim=192,
+        depth=6,
+        num_heads=3,
+        pos_embed_fn="sinusoidal",
+        num_register_tokens=1,
+        dtype=dtype,
+        rngs=rngs,
+    )
+
+
+def pretrain(algo: str, ssl_frames: dict, out_dir: str, epochs: int, batch_size: int, dtype, verbose: int):
+    """Pretrain `algo` on SSL windows; returns checkpoint path."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from m3l_tpu.train.trainer import Trainer
+
+    ckpt_dir = os.path.join(out_dir, f"ssl_{algo}")
+    ckpt = os.path.join(ckpt_dir, "last.ckpt")
+    if os.path.exists(ckpt):
+        print(f"[transfer] reusing {ckpt}")
+        return ckpt
+    rngs = nnx.Rngs(0)
+    encoder = build_encoder(rngs, dtype)
+    if algo == "mae":
+        from m3l_tpu.ssl.mae import MAEModule
+
+        module = MAEModule(
+            encoder,
+            decoder_embed_dim=192,
+            decoder_depth=4,
+            decoder_num_heads=6,
+            mask_ratio=0.75,
+            base_lr=1.5e-3,
+            warmup_epochs=2,
+            dtype=dtype,
+            rngs=rngs,
+        )
+    elif algo == "dino":
+        from m3l_tpu.ssl.dino import DINOModule
+
+        module = DINOModule(
+            encoder,
+            dino_out_dim=4096,
+            dino_hidden_dim=1024,
+            dino_bottleneck_dim=128,
+            base_lr=5e-4,
+            warmup_epochs=2,
+            teacher_warmup_epochs=2,
+            with_reconstruction_probe=False,
+            dtype=dtype,
+            rngs=rngs,
+        )
+    else:
+        raise ValueError(algo)
+    loader = get_loader(ssl_frames, batch_size)
+    trainer = Trainer(max_epochs=epochs, ckpt_dir=ckpt_dir, save_ckpt_every_n_epochs=0, verbose=verbose, clip_gradients=1.0)
+    t0 = time.time()
+    trainer.fit(module, loader)
+    print(f"[transfer] {algo} pretrain done in {time.time() - t0:.0f}s -> {ckpt}")
+    return ckpt
+
+
+def train_probe(task: str, regime: str, ckpt: str | None, encoder_type: str, splits, epochs, batch_size, dtype, verbose):
+    """Train a T1/T2 probe in the given regime; returns (module, metrics)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from m3l_tpu.tasks.modules import ForceSLModule, SlipSLModule
+    from m3l_tpu.tasks.probes import ForceLinearProbe, SlipProbe
+    from m3l_tpu.train.trainer import Trainer
+
+    train, test = splits
+    rngs = nnx.Rngs(42)
+    encoder = build_encoder(rngs, dtype)
+    kwargs = dict(
+        checkpoint_encoder=ckpt if regime == "pretrained" else None,
+        encoder_type=encoder_type,
+        train_encoder=regime == "e2e",
+        base_lr=1e-3 if regime != "e2e" else 3e-4,
+        warmup_epochs=1,
+    )
+    if task == "force":
+        probe = ForceLinearProbe(192, num_heads=3, dtype=dtype, rngs=rngs)
+        module = ForceSLModule(encoder, probe, **kwargs)
+        keys = {"image", "force"}
+    else:
+        n1 = float(train["slip"].mean())
+        probe = SlipProbe(192, num_classes=2, num_heads=3, dtype=dtype, rngs=rngs)
+        module = SlipSLModule(encoder, probe, class_weights=[1.0 / max(1 - n1, 1e-3), 1.0 / max(n1, 1e-3)], **kwargs)
+        keys = {"image", "slip"}
+    tr = {k: v for k, v in train.items() if k in keys}
+    loader = get_loader(tr, batch_size)
+    trainer = Trainer(max_epochs=epochs, verbose=verbose, clip_gradients=1.0)
+    trainer.fit(module, loader)
+    return module
+
+
+def evaluate_probe(task, module, test, out_dir, tag, batch_size):
+    from m3l_tpu.eval.tacbench import TestForceSL, TestSlipSL
+
+    keys = {"image", "force"} if task == "force" else {"image", "slip"}
+    te = {k: v for k, v in test.items() if k in keys}
+    loader = get_loader(te, batch_size, shuffle=False)
+    cache = os.path.join(out_dir, "eval", tag)
+    tester = (TestForceSL if task == "force" else TestSlipSL)(module, cache_dir=cache)
+    results = tester.run_model(loader)
+    metrics = tester.get_overall_metrics(results)
+    try:
+        plots = tester.make_plots(results) if hasattr(tester, "make_plots") else {}
+        for name, img in (plots or {}).items():
+            out = os.path.join(cache, f"{name.replace('/', '_')}.png")
+            if hasattr(img, "savefig"):
+                img.savefig(out, dpi=80)
+            else:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                plt.imsave(out, np.asarray(img))
+    except Exception as e:  # plots are best-effort
+        print(f"[transfer] plots failed for {tag}: {e}")
+    return metrics
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="runs/transfer")
+    p.add_argument("--algos", default="mae")
+    p.add_argument("--epochs_ssl", type=int, default=30)
+    p.add_argument("--epochs_probe", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--n_traj_ssl", type=int, default=400)
+    p.add_argument("--n_traj_probe", type=int, default=150)
+    p.add_argument("--n_traj_test", type=int, default=60)
+    p.add_argument("--traj_len", type=int, default=50)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--verbose", type=int, default=0)
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from m3l_tpu.data.synthetic import synth_digit_trajectories, windowed_probe_samples
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    os.makedirs(args.out, exist_ok=True)
+
+    print("[transfer] generating data...")
+    ssl_raw = synth_digit_trajectories(args.n_traj_ssl, args.traj_len, seed=1)
+    probe_raw = synth_digit_trajectories(args.n_traj_probe, args.traj_len, seed=2)
+    test_raw = synth_digit_trajectories(args.n_traj_test, args.traj_len, seed=3)
+    ssl_w = windowed_probe_samples(ssl_raw, 2)
+    train_w = windowed_probe_samples(probe_raw, 2)
+    test_w = windowed_probe_samples(test_raw, 2)
+    print(f"[transfer] ssl {len(ssl_w['image'])} | probe-train {len(train_w['image'])} | test {len(test_w['image'])}")
+
+    all_metrics = {}
+    for algo in args.algos.split(","):
+        ckpt = pretrain(algo, {"image": ssl_w["image"]}, args.out, args.epochs_ssl, args.batch_size, dtype, args.verbose)
+        enc_type = "dino" if algo == "dino" else "mae"
+        for task in ("force", "slip"):
+            for regime in ("pretrained", "random", "e2e"):
+                if regime != "pretrained" and f"{task}/{regime}" in all_metrics:
+                    continue  # random/e2e are algo-independent
+                tag = f"{task}/{regime}" if regime != "pretrained" else f"{task}/{algo}-frozen"
+                t0 = time.time()
+                module = train_probe(task, regime, ckpt, enc_type, (train_w, test_w), args.epochs_probe, args.batch_size, dtype, args.verbose)
+                m = evaluate_probe(task, module, test_w, args.out, tag.replace("/", "_"), args.batch_size)
+                m["train_time_s"] = round(time.time() - t0, 1)
+                all_metrics[tag] = m
+                print(f"[transfer] {tag}: " + json.dumps(m))
+
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(all_metrics, f, indent=2, default=float)
+
+    # markdown table
+    lines = ["| task | regime | key metrics |", "|---|---|---|"]
+    for tag, m in all_metrics.items():
+        task, regime = tag.split("/")
+        if task == "force":
+            pearson = np.mean([m.get(f"pearson_{a}", float("nan")) for a in "xyz"])
+            ci = m.get("rmse_z_ci95", (float("nan"), float("nan")))
+            key = f"RMSE {m.get('rmse', float('nan')):.4f} (z CI95 {ci[0]:.4f}-{ci[1]:.4f}), mean Pearson {pearson:.3f}"
+        else:
+            f1 = m.get("f1", [float("nan")] * 2)
+            key = f"acc {m.get('accuracy', float('nan')):.3f}, balanced {m.get('balanced_accuracy', float('nan')):.3f}, slip-f1 {f1[-1]:.3f}"
+        lines.append(f"| {task} | {regime} | {key} |")
+    table = "\n".join(lines)
+    with open(os.path.join(args.out, "RESULTS.md"), "w") as f:
+        f.write(table + "\n")
+    print(table)
+
+
+if __name__ == "__main__":
+    main()

@@ -210,3 +210,55 @@ def test_predictor_shapes():
     tgt_idx = jnp.tile(jnp.arange(6, 12)[None], (2, 1))
     out = pred.predict(ctx, ctx_idx, tgt_idx)
     assert out.shape == (2, 6, 32)
+
+
+def test_deterministic_validation_and_image_logging(tmp_path):
+    """Val masks depend only on batch index (epoch-comparable val curves) and
+    reconstruction image grids flow to the logger (VERDICT r2 items #3/#1)."""
+    import numpy as np
+    from flax import nnx
+
+    from m3l_tpu.models.vit import VisionTransformer
+    from m3l_tpu.ssl import MAEModule
+    from m3l_tpu.train import Trainer
+
+    enc = VisionTransformer(
+        img_size=(32, 32), patch_size=8, in_chans=3, embed_dim=32, depth=1, num_heads=2,
+        pos_embed_fn="sinusoidal", rngs=nnx.Rngs(0),
+    )
+    mod = MAEModule(enc, mask_ratio=0.5, decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2, rngs=nnx.Rngs(1))
+    rng = np.random.default_rng(0)
+    train = [{"image": rng.random((4, 32, 32, 3), dtype=np.float32)}]
+    val = [{"image": rng.random((4, 32, 32, 3), dtype=np.float32)}]
+
+    class CaptureLogger:
+        def __init__(self):
+            self.images = {}
+            self.scalars = []
+
+        def log_scalars(self, metrics, step):
+            self.scalars.append(metrics)
+
+        def log_image(self, tag, image, step):
+            self.images[tag] = np.asarray(image)
+
+    logger = CaptureLogger()
+    trainer = Trainer(max_epochs=2, verbose=0, log_images_every_n_epochs=1, logger=logger)
+    trainer.fit(mod, train, val)
+    assert "reconstruction/original" in logger.images
+    assert "reconstruction/masked" in logger.images
+    assert "reconstruction/reconstruction" in logger.images
+    img = logger.images["reconstruction/original"]
+    assert img.ndim == 3 and img.shape[-1] == 3
+
+    # deterministic val key: same module state + same val batch -> identical loss
+    import jax
+
+    @nnx.jit
+    def vloss(m, batch, key):
+        return m.validation_loss(batch, key, 0)[0]
+
+    k = jax.random.fold_in(jax.random.PRNGKey(trainer._val_seed), 0)
+    l1 = float(vloss(mod, val[0], k))
+    l2 = float(vloss(mod, val[0], k))
+    assert l1 == l2
