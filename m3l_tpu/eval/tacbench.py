@@ -63,24 +63,40 @@ class TestTaskSL:
     def get_overall_metrics(self, results: dict) -> dict:
         raise NotImplementedError
 
+    def format_prediction(self, pred_j) -> dict:
+        """Per-task caption fields for one sample's prediction; overridden by
+        the task evaluators (reference test_task.py:12-48 family annotates the
+        full per-task prediction, not a single scalar)."""
+        if isinstance(pred_j, dict):
+            out = {}
+            for k, v in pred_j.items():
+                out.update({f"pred_{k}": _fmt_vec(v)})
+            return out
+        return {"pred": _fmt_vec(pred_j)}
+
+    def format_target(self, key: str, value) -> dict:
+        return {key: _fmt_vec(value)}
+
     def make_video(self, loader, path: str, max_frames: int = 100, fps: int = 10) -> str:
         """Annotated prediction video over the eval set (reference
         test_task.py make_video): each input frame captioned with the probe's
-        prediction vs ground truth."""
+        full per-task prediction vs ground truth."""
         from ..utils.video import annotate_frame, write_video
 
         frames = []
         for batch in loader:
             inputs = [batch[k] for k in self.batch_keys]
-            pred = np.asarray(self._jit_predict(self.module, *inputs))
+            pred = self._jit_predict(self.module, *inputs)
+            pred = {k: np.asarray(v) for k, v in pred.items()} if isinstance(pred, dict) else np.asarray(pred)
             imgs = np.asarray(batch["image"])[..., :3]  # first 3 channels
             for j in range(imgs.shape[0]):
                 if len(frames) >= max_frames:
                     break
-                info = {"pred": float(np.ravel(pred[j])[0]) if not isinstance(pred, dict) else 0.0}
+                pj = {k: v[j] for k, v in pred.items()} if isinstance(pred, dict) else pred[j]
+                info = self.format_prediction(pj)
                 for k, v in batch.items():
                     if k not in self.batch_keys and np.ndim(v[j]) <= 1:
-                        info[k] = float(np.ravel(v[j])[0])
+                        info.update(self.format_target(k, np.asarray(v[j])))
                 frames.append(annotate_frame(len(frames), imgs[j], 0.0, info))
             if len(frames) >= max_frames:
                 break
@@ -88,6 +104,15 @@ class TestTaskSL:
 
     def evaluate(self, loader) -> dict:
         return self.get_overall_metrics(self.run_model(loader))
+
+
+def _fmt_vec(v, max_elems: int = 4):
+    """Caption-friendly rendering: scalar -> float, small vector -> string."""
+    a = np.ravel(np.asarray(v, np.float64))
+    if a.size == 1:
+        return float(a[0])
+    body = " ".join(f"{x:.3f}" for x in a[:max_elems])
+    return "[" + body + (" .." if a.size > max_elems else "") + "]"
 
 
 def _pearson(a: np.ndarray, b: np.ndarray) -> float:
@@ -105,6 +130,10 @@ def _bootstrap_rmse_ci(err: np.ndarray, n_boot: int = 1000, seed: int = 0):
 
 class TestForceSL(TestTaskSL):
     task_name = "t1_force"
+
+    def format_prediction(self, pred_j) -> dict:
+        p = np.ravel(np.asarray(pred_j, np.float64))
+        return {f"pred_f{a}": float(p[i]) for i, a in enumerate("xyz"[: len(p)])}
 
     def make_plots(self, results: dict) -> dict:
         """Correlation + error plots (reference test_t1_force.py plotting +
@@ -187,6 +216,17 @@ class TestSlipSL(TestTaskSL):
     threshold = 0.4
     smooth_window = 3
 
+    def format_prediction(self, pred_j) -> dict:
+        logits = pred_j["slip"] if isinstance(pred_j, dict) else pred_j
+        probs = _softmax(np.asarray(logits, np.float64)[None])[0]
+        if probs.shape[-1] == 2:
+            out = {"p_slip": float(probs[1]), "pred": "slip" if probs[1] > self.threshold else "no-slip"}
+        else:
+            out = {"pred_class": int(np.argmax(probs)), "p": float(probs.max())}
+        if isinstance(pred_j, dict) and "force" in pred_j:
+            out["pred_dF"] = _fmt_vec(pred_j["force"])
+        return out
+
     def _labels(self, results: dict) -> np.ndarray:
         # "slip_label" is the sensor dataset's key (data/sensors.py),
         # "slip" the generic task-dataset one
@@ -256,7 +296,13 @@ class _ConfusionPlotMixin:
         return {"confusion_matrix": plot_confusion_matrix(np.asarray(m["confusion"]), names)}
 
 
-class TestGraspSL(_ConfusionPlotMixin, TestTaskSL):
+class _ClassifierCaption:
+    def format_prediction(self, pred_j) -> dict:
+        probs = _softmax(np.asarray(pred_j, np.float64)[None])[0]
+        return {"pred_class": int(np.argmax(probs)), "p": float(probs.max())}
+
+
+class TestGraspSL(_ClassifierCaption, _ConfusionPlotMixin, TestTaskSL):
     task_name = "t4_grasp"
     label_key = "grasp"
     class_names = ("not_gripping", "gripping")
@@ -275,6 +321,11 @@ class TestTextileSL(TestGraspSL):
 
 class TestPoseSL(TestTaskSL):
     task_name = "t3_pose"
+
+    def format_prediction(self, pred_j) -> dict:
+        if isinstance(pred_j, dict):
+            return {f"pred_{k}": int(np.argmax(v)) for k, v in pred_j.items()}
+        return {"pred": _fmt_vec(pred_j)}
 
     def get_overall_metrics(self, results: dict) -> dict:
         metrics = {}

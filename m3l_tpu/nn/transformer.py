@@ -38,15 +38,16 @@ class Attention(nnx.Module):
         b, n, _ = x.shape
         h, dh = self.heads, self.dim_head
         x = self.norm(x)
-        qkv = self.to_qkv(x).reshape(b, n, 3, h, dh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, dh)
-        from .flash_attention import flash_attention, use_flash
+        from .flash_attention import flash_attention_qkv, use_flash
 
         if use_flash():
-            # fused pallas kernel: scores/softmax stay in VMEM (the einsum
-            # path's (B,H,N,N) f32 HBM round-trip dominates at these shapes)
-            out = flash_attention(q, k, v, key_mask=key_mask, scale=self.scale).reshape(b, n, h * dh)
+            # qkv-fused pallas kernel: head split AND scores/softmax stay in
+            # VMEM (the einsum path's (B,H,N,N) f32 HBM round-trip plus the
+            # head-split transposes dominate at these shapes)
+            out = flash_attention_qkv(self.to_qkv(x), h, key_mask=key_mask, scale=self.scale)
         else:
+            qkv = self.to_qkv(x).reshape(b, n, 3, h, dh)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, dh)
             scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.scale
             scores = scores.astype(jnp.float32)
             if key_mask is not None:

@@ -83,14 +83,15 @@ class Attention(nnx.Module):
     def __call__(self, x, key_mask: Optional[jnp.ndarray] = None):
         b, n, _ = x.shape
         h, dh = self.num_heads, self.head_dim
-        qkv = self.qkv(x).reshape(b, n, 3, h, dh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        from .flash_attention import flash_attention, use_flash
+        from .flash_attention import flash_attention_qkv, use_flash
 
         if use_flash():
-            # fused pallas attention (VMEM softmax); einsum fallback off-TPU
-            out = flash_attention(q, k, v, key_mask=key_mask, scale=self.scale).reshape(b, n, h * dh)
+            # qkv-fused pallas attention (VMEM head split + softmax);
+            # einsum fallback off-TPU
+            out = flash_attention_qkv(self.qkv(x), h, key_mask=key_mask, scale=self.scale)
             return self.proj(out)
+        qkv = self.qkv(x).reshape(b, n, 3, h, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.scale
         scores = scores.astype(jnp.float32)
         if key_mask is not None:

@@ -28,7 +28,7 @@ from ..ops.patches import patchify
 from .decoders import DecoderViT
 from .losses import DINOLossState, dino_cross_entropy, softmax_center_teacher, update_center
 from .masks import sample_block_masks, sample_block_masks_constrained
-from .module import SSLModule
+from .module import as_float_image, SSLModule
 from .ema import ema_update
 from .schedulers import linear_schedule, teacher_temp_schedule
 
@@ -156,7 +156,7 @@ class DINOModule(SSLModule):
         return loss, teacher_logits
 
     def training_loss(self, batch: dict, key: jax.Array, step):
-        x = batch["image"]
+        x = as_float_image(batch["image"])
         k_mask, k_dp = jax.random.split(key)
         global_masks, local_masks = self.sample_masks(k_mask, x.shape[0])
         temp = self._temp_fn(step)

@@ -152,7 +152,7 @@ class DINOv2Module(DINOModule):
         return dino_loss + ibot + koleo, aux
 
     def training_loss(self, batch: dict, key: jax.Array, step):
-        x = batch["image"]
+        x = as_float_image(batch["image"])
         k_mask, _ = jax.random.split(key)
         global_masks, local_masks = self.sample_masks(k_mask, x.shape[0])
         temp = self._temp_fn(step)

@@ -25,7 +25,7 @@ from ..models.vit import VisionTransformer, VisionTransformerPredictor
 from .dino import _layer_norm
 from .ema import ema_update
 from .masks import sample_block_masks
-from .module import SSLModule
+from .module import as_float_image, SSLModule
 from .schedulers import linear_schedule
 
 
@@ -96,7 +96,7 @@ class IJEPAModule(SSLModule):
         return loss / self.num_target_masks
 
     def training_loss(self, batch: dict, key: jax.Array, step):
-        x = batch["image"]
+        x = as_float_image(batch["image"])
         ctx_mask, target_masks = self.sample_masks(key, x.shape[0])
         loss = self.forward_loss(x, ctx_mask, target_masks)
         return loss, {"ssl_loss": loss, "loss": loss}

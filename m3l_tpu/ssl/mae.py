@@ -16,7 +16,7 @@ from flax import nnx
 from ..models.vit import VisionTransformer
 from ..ops.patches import patchify
 from .decoders import MaskDecoderViT
-from .module import SSLModule
+from .module import SSLModule, as_float_image
 
 
 class MAEModule(SSLModule):
@@ -90,7 +90,7 @@ class MAEModule(SSLModule):
         return (loss * mask).sum() / jnp.clip(mask.sum(), 1.0, None)
 
     def training_loss(self, batch: dict, key: jax.Array, step):
-        x = batch["image"]
+        x = as_float_image(batch["image"])
         pred, mask = self(x, key)
         loss = self.compute_loss(x, pred, mask)
         return loss, {"loss": loss}
@@ -102,7 +102,7 @@ class MAEModule(SSLModule):
         first 3 channels of multi-frame inputs are displayed."""
         from ..ops.patches import unpatchify
 
-        x = batch["image"][:max_images]
+        x = as_float_image(batch["image"][:max_images])
         p = self.patch_size
         gh, gw = x.shape[1] // p, x.shape[2] // p
         pred, mask = self(x, key)

@@ -55,6 +55,15 @@ class SSLModule(nnx.Module):
         )
 
 
+def as_float_image(x):
+    """Dequantize uint8 images on device (TPU-first input pipeline: ship
+    uint8 over the host->device link — 4x less transfer — and convert next
+    to the first conv; float inputs pass through unchanged)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 def wd_mask(params) -> Any:
     """Decay only >=2-D parameters (reference mae.py:167-176 WD split)."""
     return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)

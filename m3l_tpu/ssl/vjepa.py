@@ -24,7 +24,7 @@ from ..models.vit import VisionTransformer, VisionTransformerPredictor
 from .dino import _layer_norm
 from .ema import ema_update
 from .masks import random_tube_masks
-from .module import SSLModule
+from .module import as_float_image, SSLModule
 from .schedulers import linear_schedule
 
 
@@ -80,7 +80,7 @@ class VJEPAModule(SSLModule):
             self._momentum_fn = linear_schedule(m0, m1, steps_per_epoch * epochs)
 
     def training_loss(self, batch: dict, key: jax.Array, step):
-        x = batch["image"]  # (B, T, H, W, C)
+        x = as_float_image(batch["image"])  # (B, T, H, W, C)
         b = x.shape[0]
         keeps = random_tube_masks(key, b, self.grid, self.mask_ratio, self.num_masks)  # (M, B, N)
 

@@ -90,7 +90,9 @@ class SLModuleBase(SSLModule):
             self.trainable_filter = nnx.Param
 
     def encode(self, x):
-        z = self.model_encoder(x)
+        from ..ssl.module import as_float_image
+
+        z = self.model_encoder(as_float_image(x))
         if not self.train_encoder:
             z = jax.lax.stop_gradient(z)
         return z

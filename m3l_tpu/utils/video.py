@@ -26,7 +26,9 @@ def annotate_frame(step: int, frame: np.ndarray, rew: float, info: Optional[dict
     frame = np.ascontiguousarray(frame)
     lines = [f"step: {step}", f"reward: {rew:.3f}"]
     for k, v in (info or {}).items():
-        if isinstance(v, (int, float, bool, np.floating, np.integer)):
+        if isinstance(v, str):
+            lines.append(f"{k}: {v}")
+        elif isinstance(v, (int, float, bool, np.floating, np.integer)):
             lines.append(f"{k}: {v}")
     for i, text in enumerate(lines):
         cv2.putText(frame, text, (4, 12 + 12 * i), cv2.FONT_HERSHEY_SIMPLEX, 0.35, (255, 255, 255), 1, cv2.LINE_AA)

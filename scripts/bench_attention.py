@@ -15,7 +15,7 @@ import numpy as np
 
 B, N, D, H = 512, 192, 256, 4
 DH = D // H
-INNER = 20
+INNER = 10
 
 
 def timed(name, fn, *args):
@@ -76,8 +76,12 @@ def main():
         o = flash_attention_qkv(qkv, H, scale=scale)
         return jnp.sum((o @ wo.astype(o.dtype)).astype(jnp.float32) ** 2)
 
-    for name, fn in [("einsum", attn_einsum), ("flash v1 (transposes)", attn_v1), ("flash v2 (qkv-fused)", attn_v2)]:
-        timed(f"{name} layer fwd+bwd", scan_grad(fn), params, x)
+    import sys
+
+    variants = {"v2": attn_v2, "v1": attn_v1, "einsum": attn_einsum}
+    pick = [a for a in sys.argv[1:] if a in variants] or ["v2", "v1", "einsum"]
+    for name in pick:
+        timed(f"{name} layer fwd+bwd", scan_grad(variants[name]), params, x)
 
 
 if __name__ == "__main__":

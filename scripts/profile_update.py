@@ -128,5 +128,29 @@ def main():
     f, a = scan_time(joint_step, (mae_params, other_params, opt, key))
     timed("fused joint fwd+bwd+adam", f, a)
 
+    # 5. adam-only (tree traffic at 13M params; the fused-optimizer lever)
+    fixed_g = jax.tree.map(lambda p: jnp.full_like(p, 1e-6), (mae_params, other_params))
+
+    def adam_only(c):
+        mp, op, o = c
+        upd, o = tx.update(fixed_g, o, (mp, op))
+        mp, op = optax.apply_updates((mp, op), upd)
+        return (mp, op, o)
+
+    f, a = scan_time(adam_only, (mae_params, other_params, opt))
+    timed("adam update only", f, a)
+
+    # 6. token pipeline fwd (EarlyCNN + embeds)
+    def tok_fwd(c):
+        mp, op = c
+        model = nnx.merge(graphdef, mp, op, rest)
+        m = model.features.mae
+        ip, tp = m._raw_patches(x, True, True)
+        tok = m._tokens(x, True, True, ip, tp)
+        return (jax.tree.map(lambda a_: a_ + 0 * tok.sum().astype(a_.dtype), mp), op)
+
+    f, a = scan_time(tok_fwd, (mae_params, other_params))
+    timed("token pipeline fwd", f, a)
+
 if __name__ == "__main__":
     main()

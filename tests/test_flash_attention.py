@@ -78,3 +78,41 @@ def test_shared_pipeline_matches_separate():
     l_sep = feats.mae_loss(x, key)
     np.testing.assert_allclose(np.asarray(f_shared), np.asarray(f_sep), atol=1e-5)
     np.testing.assert_allclose(float(l_shared), float(l_sep), atol=1e-5)
+
+
+# ---------------------------------------------------------------------- #
+# v2: qkv-fused kernel (packed (B, N, 3*H*Dh) in, (B, N, H*Dh) out)
+# ---------------------------------------------------------------------- #
+def _packed(b=4, n=192, h=4, dh=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(b, n, 3 * h * dh)), jnp.float32), h, dh
+
+
+def _einsum_from_packed(qkv, h, dh, key_mask=None):
+    b, n, _ = qkv.shape
+    x = qkv.reshape(b, n, 3, h, dh)
+    return einsum_attention(x[:, :, 0], x[:, :, 1], x[:, :, 2], key_mask=key_mask).reshape(b, n, h * dh)
+
+
+@pytest.mark.parametrize("n,h", [(192, 4), (17, 2), (64, 1)])
+def test_flash_qkv_matches_einsum_fwd(n, h):
+    from m3l_tpu.nn.flash_attention import flash_attention_qkv
+
+    qkv, _, dh = _packed(n=n, h=h, dh=64)
+    out = flash_attention_qkv(qkv, h, interpret=True)
+    ref = _einsum_from_packed(qkv, h, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_flash_qkv_matches_einsum_grads_and_mask():
+    from m3l_tpu.nn.flash_attention import flash_attention_qkv
+
+    qkv, h, dh = _packed()
+    rng = np.random.default_rng(1)
+    mask = jnp.asarray(rng.uniform(size=qkv.shape[:2]) > 0.3)
+    for m in (None, mask):
+        f_ref = lambda q: jnp.sum(jnp.sin(_einsum_from_packed(q, h, dh, key_mask=m)))
+        f_fl = lambda q: jnp.sum(jnp.sin(flash_attention_qkv(q, h, key_mask=m, interpret=True)))
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f_fl)(qkv)), np.asarray(jax.grad(f_ref)(qkv)), atol=5e-5
+        )
