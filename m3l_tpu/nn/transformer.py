@@ -10,16 +10,28 @@ via ``vit_pytorch.vit.Transformer``):
 * FeedForward: LN -> Linear -> GELU(exact) -> Linear.
 * final LayerNorm on the stack output.
 
-TPU notes: the qkv projection is one (D, 3*H*Dh) matmul feeding the MXU; the
-attention itself is plain XLA einsum — at the reference's sequence lengths
-(<=256 tokens) a flash-attention kernel buys nothing, XLA already keeps the
-(B, h, N, N) score tile in VMEM. Compute dtype is configurable (bfloat16 for
-throughput); parameters and LayerNorm statistics stay float32.
+TPU notes: the qkv projection is one (D, 3*H*Dh) matmul whose packed output
+feeds the qkv-fused pallas flash-attention kernel directly (head split +
+f32 softmax in VMEM, nn/flash_attention.py; measured vs the einsum path in
+BASELINE.md — the (B,H,N,N) f32 HBM round-trip and head-split transposes
+dominate at M3L shapes). Einsum fallback off-TPU. Compute dtype is
+configurable (bfloat16 for throughput); parameters and LayerNorm statistics
+stay float32.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 from flax import nnx
+
+
+def _ln(norm: nnx.LayerNorm, x: jnp.ndarray) -> jnp.ndarray:
+    """nnx.LayerNorm, optionally through the pallas fused kernel
+    (M3L_FUSED_LN=1; see nn/fused_layernorm.py)."""
+    from .fused_layernorm import fused_layernorm, use_fused_ln
+
+    if use_fused_ln():
+        return fused_layernorm(x, norm.scale[...], norm.bias[...], eps=norm.epsilon)
+    return norm(x)
 
 
 class Attention(nnx.Module):
@@ -37,7 +49,7 @@ class Attention(nnx.Module):
     def __call__(self, x: jnp.ndarray, key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
         b, n, _ = x.shape
         h, dh = self.heads, self.dim_head
-        x = self.norm(x)
+        x = _ln(self.norm, x)
         from .flash_attention import flash_attention_qkv, use_flash
 
         if use_flash():
@@ -67,7 +79,7 @@ class FeedForward(nnx.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # exact (erf) GELU, matching torch nn.GELU default
-        return self.fc2(nnx.gelu(self.fc1(self.norm(x)), approximate=False))
+        return self.fc2(nnx.gelu(self.fc1(_ln(self.norm, x)), approximate=False))
 
 
 class Transformer(nnx.Module):
@@ -86,4 +98,4 @@ class Transformer(nnx.Module):
         for attn, ff in self.blocks:
             x = attn(x, key_mask) + x
             x = ff(x) + x
-        return self.norm(x)
+        return _ln(self.norm, x)
