@@ -51,13 +51,13 @@ def render_frame(bg: np.ndarray, pos: np.ndarray, force: np.ndarray, size: int) 
         d2 = (yy - pos[1]) ** 2 + (xx - pos[0]) ** 2
         blob = np.exp(-d2 / (2 * r * r))  # (H, W)
         # indentation darkening with depth ~ fz
-        img -= (0.35 * fz) * blob[..., None]
+        img -= (0.40 * fz) * blob[..., None]
         # shear: per-channel brightening along each light direction
         shade = _LIGHT_DIRS @ np.array([fx, fy], np.float32)  # (3,)
-        img += 0.30 * blob[..., None] * shade[None, None, :]
+        img += 0.35 * blob[..., None] * shade[None, None, :]
         # ring highlight at the contact edge (gel membrane bulge)
         ring = np.exp(-((np.sqrt(d2) - r) ** 2) / (2 * (0.25 * r) ** 2))
-        img += 0.12 * fz * ring[..., None]
+        img += 0.15 * fz * ring[..., None]
     return np.clip(img, 0.0, 1.0)
 
 
@@ -87,7 +87,7 @@ def synth_digit_trajectories(
             [0.45 + 0.15 * (_LIGHT_DIRS[c, 0] * xx + _LIGHT_DIRS[c, 1] * yy) for c in range(3)], axis=-1
         )
         bg += _smooth_noise(rng, size, size, cells=8, amp=0.05)[..., None]
-        bg += rng.normal(size=(size, size, 3)).astype(np.float32) * 0.01
+        bg += rng.normal(size=(size, size, 3)).astype(np.float32) * 0.005
 
         pos = rng.uniform(0.3, 0.7, size=2).astype(np.float32)
         vel = np.zeros(2, np.float32)

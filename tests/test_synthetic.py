@@ -1,0 +1,58 @@
+"""Synthetic DIGIT-style generator: label recoverability + windowing."""
+import numpy as np
+
+from m3l_tpu.data.synthetic import synth_digit_trajectories, windowed_probe_samples
+
+
+def test_shapes_and_rates():
+    d = synth_digit_trajectories(10, 40, seed=0)
+    assert d["frames"].shape == (400, 96, 96, 3) and d["frames"].dtype == np.uint8
+    assert d["force"].shape == (400, 3)
+    assert 0.05 < d["slip"].mean() < 0.7
+    assert d["in_contact"].mean() > 0.5
+    w = windowed_probe_samples(d, 2)
+    assert w["image"].shape[-1] == 6
+    # windows never straddle trajectories
+    assert len(w["image"]) == 400 - 10
+
+
+def test_force_linearly_decodable_from_pixels():
+    """The observation model must make force recoverable. A position-blind
+    ridge regression over background-differenced pooled pixels (the DIGIT
+    pipeline's bg removal, reference digit/utils.py:51-58) is a weak LOWER
+    bound on what a conv/ViT probe can read out — it must still correlate
+    clearly per axis, else the transfer experiment would be testing noise."""
+    d = synth_digit_trajectories(40, 40, seed=1)
+    frames = d["frames"].astype(np.float32) / 255.0
+    tid = d["traj_id"]
+    diff = np.empty_like(frames)
+    for t in np.unique(tid):
+        m = tid == t
+        diff[m] = frames[m] - np.median(frames[m], axis=0)
+    mask = d["in_contact"] > 0
+    imgs, f = diff[mask], d["force"][mask]
+    b, h, w, c = imgs.shape
+    pool = lambda a: a.reshape(b, 12, h // 12, 12, w // 12, c).mean((2, 4)).reshape(b, -1)
+    pooled = np.concatenate([pool(imgs), pool(np.abs(imgs)), np.ones((b, 1), np.float32)], axis=1)
+    n_train = int(0.8 * b)
+    A, y = pooled[:n_train], f[:n_train]
+    wls = np.linalg.lstsq(A.T @ A + 1e-3 * np.eye(A.shape[1]), A.T @ y, rcond=None)[0]
+    pred = pooled[n_train:] @ wls
+    gt = f[n_train:]
+    for i in range(3):
+        r = np.corrcoef(pred[:, i], gt[:, i])[0, 1]
+        assert r > 0.5, (i, r)
+
+
+def test_slip_visible_in_two_frame_window():
+    """Slip (patch motion) must be separable from stick using only 2-frame
+    pixel differences: mean |frame_t - frame_{t-1}| inside the contact region
+    should be materially larger for slip windows."""
+    d = synth_digit_trajectories(40, 40, seed=2)
+    w = windowed_probe_samples(d, 2)
+    contact = w["in_contact"] > 0
+    img = w["image"].astype(np.float32)
+    diff = np.abs(img[..., 3:] - img[..., :3]).mean((1, 2, 3))
+    slip_diff = diff[(w["slip"] == 1) & contact]
+    stick_diff = diff[(w["slip"] == 0) & contact]
+    assert slip_diff.mean() > 1.5 * stick_diff.mean(), (slip_diff.mean(), stick_diff.mean())
