@@ -201,8 +201,10 @@ def use_flash() -> bool:
 # inside the kernel (vector shuffles, no HBM traffic), and the backward
 # emits the packed dqkv so the qkv-projection backward fuses cleanly too.
 # --------------------------------------------------------------------- #
-_BLOCK_B_FWD = 8
-_BLOCK_B_BWD = 4
+import os
+
+_BLOCK_B_FWD = int(os.environ.get("M3L_FLASH_GB_FWD", "8"))
+_BLOCK_B_BWD = int(os.environ.get("M3L_FLASH_GB_BWD", "4"))
 
 
 def _split_heads(blk: jnp.ndarray, heads: int, part: int):
