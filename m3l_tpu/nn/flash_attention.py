@@ -245,7 +245,7 @@ def _fwd_qkv_kernel(qkv_ref, bias_ref, o_ref, *, scale: float, heads: int):
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
     s = s * scale  # (H*G, N, N)
     if bias_ref is not None:
-        b = bias_ref[:]  # (G, N)
+        b = bias_ref[:][:, 0]  # (G, 1, N) -> (G, N)
         s = s.reshape(heads, g, *s.shape[1:]) + b[None, :, None, :]
         s = s.reshape(heads * g, *s.shape[2:])
     a = _softmax_rows(s)
@@ -266,7 +266,7 @@ def _bwd_qkv_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, *, scale: float, heads: 
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
     s = s * scale
     if bias_ref is not None:
-        b = bias_ref[:]
+        b = bias_ref[:][:, 0]
         s = s.reshape(heads, g, *s.shape[1:]) + b[None, :, None, :]
         s = s.reshape(heads * g, *s.shape[2:])
     a = _softmax_rows(s)  # (H*G, N, N) f32
@@ -293,7 +293,9 @@ def _qkv_call(qkv, bias, scale, heads, interpret, *, fwd: bool, g_out=None):
     g = _block(b, max(limit, 1))
     qspec = pl.BlockSpec((g, n, thd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((g, n, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((g, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((g, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    if bias is not None:
+        bias = bias[:, None, :]  # (B, 1, N): trailing block dims == array dims
     if fwd:
         if bias is not None:
             kern = functools.partial(_fwd_qkv_kernel, scale=scale, heads=heads)
