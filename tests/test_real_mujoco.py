@@ -34,6 +34,46 @@ print("MUJOCO_PIXELS_OK")
     assert "MUJOCO_PIXELS_OK" in out.stdout, out.stdout + out.stderr
 
 
+def test_hand_touch_sensors_env():
+    """Shadow-hand rotation family with REAL MuJoCo touch sensors: the
+    `ensure_patched_hand_xmls` shim (envs/hand_assets.py) must make
+    gymnasium-robotics 1.4 assets load under MuJoCo >= 3.2, and the pipeline
+    (PixelsOnly + ResizeDict + AddTactile, reference envs/__init__.py:70-76)
+    must deliver pixels + a nonzero touch map. Subprocess-isolated for the
+    same EGL reason as above."""
+    pytest.importorskip("mujoco")
+    pytest.importorskip("gymnasium_robotics")
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import os
+os.environ["MUJOCO_GL"] = "egl"
+import numpy as np
+from m3l_tpu.envs import make_env
+env = make_env("HandManipulateBlockRotateZ_ContinuousTouchSensors-v1", 0, 0,
+               "vision_and_touch", frame_stack=2, allow_fake=False)()
+obs, _ = env.reset(seed=0)
+assert obs["image"].shape == (2, 64, 64, 3) and obs["image"].dtype == np.uint8
+assert obs["tactile"].shape == (2, 3, 32, 32)
+touched = 0.0
+for _ in range(20):
+    obs, r, term, trunc, info = env.step(env.action_space.sample())
+    assert np.isfinite(r) and r <= 0.0  # dense reward = -distance
+    touched = max(touched, float(np.abs(obs["tactile"]).max()))
+assert touched > 0.0  # the 92 touch sensors actually fire under contact
+env.close()
+print("HAND_TOUCH_OK")
+"""
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", code], env=env, capture_output=True, text=True, timeout=300)
+    assert "HAND_TOUCH_OK" in out.stdout, out.stdout + out.stderr
+
+
 def test_touch_helpers():
     from m3l_tpu.envs.wrappers import assemble_hand_tactile
 
