@@ -14,24 +14,36 @@ import numpy as np
 
 
 class TensorBoardLogger:
-    def __init__(self, log_dir: str):
-        import tensorflow as tf  # baked in; used only for summary writing
+    """Event-file writer backed by torch.utils.tensorboard (pure-Python
+    protobuf serialization). The previous tf.summary backend loaded the full
+    libtensorflow runtime, which segfaults when sharing a process with the
+    TPU client + forked env workers (observed twice in dmesg); the torch
+    writer produces identical event files without native TF code."""
 
-        self._tf = tf
+    def __init__(self, log_dir: str):
+        # Force tensorboard's pure-python TF stub even though full TF is
+        # installed: registering `tensorboard.compat.notf` before the lazy
+        # `tensorboard.compat.tf` resolves makes it skip `import tensorflow`.
+        import sys
+        import types
+
+        sys.modules.setdefault("tensorboard.compat.notf", types.ModuleType("tensorboard.compat.notf"))
+        from torch.utils.tensorboard import SummaryWriter
+
         os.makedirs(log_dir, exist_ok=True)
-        self.writer = tf.summary.create_file_writer(log_dir)
+        self.writer = SummaryWriter(log_dir)
 
     def log_scalars(self, metrics: dict, step: int) -> None:
-        with self.writer.as_default():
-            for k, v in metrics.items():
-                if isinstance(v, (int, float, np.floating, np.integer)) and np.isfinite(v):
-                    self._tf.summary.scalar(k, float(v), step=step)
+        for k, v in metrics.items():
+            if isinstance(v, (int, float, np.floating, np.integer)) and np.isfinite(v):
+                self.writer.add_scalar(k, float(v), global_step=step)
         self.writer.flush()
 
     def log_image(self, tag: str, image: np.ndarray, step: int) -> None:
-        with self.writer.as_default():
-            img = image[None] if image.ndim == 3 else image
-            self._tf.summary.image(tag, img, step=step)
+        img = image[0] if image.ndim == 4 else image  # (H, W, C)
+        if img.dtype != np.uint8:
+            img = (np.clip(np.asarray(img, np.float32), 0.0, 1.0) * 255).astype(np.uint8)
+        self.writer.add_image(tag, img, global_step=step, dataformats="HWC")
         self.writer.flush()
 
 
