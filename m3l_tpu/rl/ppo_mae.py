@@ -118,12 +118,22 @@ class PPOMAE:
             other_params = shard_param_state(other_params, mesh)
         self.mae_params, self.other_params = mae_params, other_params
 
-        self._policy_tx = optax.chain(
-            optax.clip_by_global_norm(max_grad_norm),
-            optax.adam(learning_rate, eps=1e-5),  # SB3 ActorCriticPolicy Adam eps
-        )
+        if mesh is None:
+            # flat-buffer fused Adam (train/optim.py): same math as the chain
+            # below in three large fused kernels instead of ~100 per-leaf ops.
+            # Single-chip/dp only — raveling mp-sharded params would force an
+            # all-gather.
+            from ..train.optim import flat_adam
+
+            self._policy_tx = flat_adam(learning_rate, eps=1e-5, max_grad_norm=max_grad_norm)
+            self._mae_tx = flat_adam(mae_lr)
+        else:
+            self._policy_tx = optax.chain(
+                optax.clip_by_global_norm(max_grad_norm),
+                optax.adam(learning_rate, eps=1e-5),  # SB3 ActorCriticPolicy Adam eps
+            )
+            self._mae_tx = optax.adam(mae_lr)  # reference mae_optimizer (ppo_mae.py:183)
         self.policy_opt_state = self._policy_tx.init((self.mae_params, self.other_params))
-        self._mae_tx = optax.adam(mae_lr)  # reference mae_optimizer (ppo_mae.py:183)
         self.mae_opt_state = self._mae_tx.init(self.mae_params) if separate_optimizer else ()
 
         self.reward_normalizer = RewardNormalizer(self.n_envs, gamma=gamma, enabled=norm_reward)

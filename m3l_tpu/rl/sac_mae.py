@@ -131,10 +131,16 @@ class SACMAE:
                 for p in (self.mae_params, self.target_params, self.critic_params, self.ent_params, self.actor_params)
             )
 
-        self._actor_tx = optax.adam(learning_rate)
-        self._critic_tx = optax.adam(learning_rate)
-        self._ent_tx = optax.adam(learning_rate)
-        self._mae_tx = optax.adam(mae_lr)
+        if mesh is None:
+            # flat-buffer fused Adam (train/optim.py; single-chip/dp only —
+            # raveling mp-sharded params would force an all-gather)
+            from ..train.optim import flat_adam as _adam
+        else:
+            _adam = optax.adam
+        self._actor_tx = _adam(learning_rate)
+        self._critic_tx = _adam(learning_rate)
+        self._ent_tx = _adam(learning_rate)
+        self._mae_tx = _adam(mae_lr)
         self.actor_opt = self._actor_tx.init((self.actor_params, self.mae_params))
         self.critic_opt = self._critic_tx.init(self.critic_params)
         self.ent_opt = self._ent_tx.init(self.ent_params)

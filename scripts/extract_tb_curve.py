@@ -14,6 +14,10 @@ import sys
 
 
 def load_scalars(logdir: str, tags: list[str]) -> dict[str, list[tuple[int, float]]]:
+    # keep libtensorflow out of the process (see utils/loggers.py)
+    import types
+
+    sys.modules.setdefault("tensorboard.compat.notf", types.ModuleType("tensorboard.compat.notf"))
     from tensorboard.backend.event_processing.event_accumulator import EventAccumulator
 
     acc = EventAccumulator(logdir, size_guidance={"scalars": 0})
