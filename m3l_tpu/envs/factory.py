@@ -161,8 +161,10 @@ def make_env(
             import os
 
             os.environ.setdefault("MUJOCO_GL", "egl")
+            from .touch_press import register as _register_touch_press
             from .wrappers import RenderImageObservation
 
+            _register_touch_press()  # in-repo touch-sensor env (TouchPress-v0)
             env = gym.make(env_name.split("/", 1)[1], render_mode="rgb_array", width=image_size, height=image_size)
             env = RenderImageObservation(env, size=image_size, tactile_size=tactile_size, with_tactile=state_type != "vision")
             env = FrameStack(env, frame_stack)

@@ -1,0 +1,172 @@
+"""TouchPress-v0: a real-MuJoCo force-regulation env where touch is load-bearing.
+
+A position-actuated fingertip must press a spring-mounted plate to a target
+contact force. The plate's stiffness is randomized per episode and is
+INVISIBLE to the camera (the same deflection means a different force each
+episode), so regulating force requires reading the fingertip's MuJoCo touch
+sensor — pixels alone cannot solve the task. This gives the vision+touch
+real-physics path (reference claim README.md:3, arXiv:2311.00924: tactile
+information improves policies that vision alone cannot complete) a
+controlled, learnable testbed with an explicit vision-only ablation:
+
+    PPO(state_type=vision_and_touch)  -> can regulate to the target band
+    PPO(state_type=vision)            -> can at best press to an average depth
+
+Exposed through the factory as ``MuJoCoPixels/TouchPress-v0`` (registered on
+import); `RenderImageObservation` renders the camera and maps the touch
+sensor into the (3, 32, 32) tactile image via `assemble_hand_tactile`.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import gymnasium as gym
+from gymnasium.spaces import Box
+
+_XML = """
+<mujoco model="touchpress">
+  <option timestep="0.005" gravity="0 0 -9.81"/>
+  <visual>
+    <global offwidth="128" offheight="128"/>
+    <headlight ambient="0.4 0.4 0.4" diffuse="0.6 0.6 0.6"/>
+  </visual>
+  <worldbody>
+    <light pos="0.2 0.2 1" dir="-0.2 -0.2 -1"/>
+    <geom name="floor" type="plane" size="1 1 0.1" rgba="0.25 0.27 0.32 1"/>
+    <body name="base" pos="0 0 0.06">
+      <geom name="pedestal" type="cylinder" size="0.05 0.06" rgba="0.4 0.4 0.45 1"/>
+    </body>
+    <body name="plate" pos="0 0 0.13">
+      <joint name="plate_z" type="slide" axis="0 0 1" range="-0.09 0"
+             stiffness="300" damping="8" limited="true"/>
+      <geom name="plate_geom" type="box" size="0.07 0.07 0.008" mass="0.15"
+            rgba="0.85 0.55 0.2 1"/>
+    </body>
+    <body name="finger" pos="0 0 0.3">
+      <joint name="finger_z" type="slide" axis="0 0 1" range="-0.26 0.04"
+             damping="2" limited="true"/>
+      <geom name="shaft" type="capsule" fromto="0 0 0.01 0 0 0.1" size="0.008"
+            rgba="0.6 0.62 0.68 1" mass="0.04"/>
+      <geom name="tip" type="sphere" size="0.014" rgba="0.2 0.6 0.9 1" mass="0.02"/>
+      <site name="tip_site" type="sphere" size="0.016" rgba="1 0 0 0"/>
+    </body>
+    <camera name="view" pos="0.38 0 0.24" xyaxes="0 1 0 -0.45 0 1"/>
+  </worldbody>
+  <actuator>
+    <position name="press" joint="finger_z" kp="60" ctrlrange="-0.26 0.04"/>
+  </actuator>
+  <sensor>
+    <touch name="tip_touch" site="tip_site"/>
+  </sensor>
+</mujoco>
+"""
+
+
+class TouchPressEnv(gym.Env):
+    """Regulate fingertip contact force on a randomized-stiffness plate.
+
+    Observation (dict): proprioceptive state is withheld — built for the
+    pixels(+touch) pipeline, so `render()` is the intended observation and
+    the raw obs is the minimal qpos/force vector (used by tests only).
+    Action: 1-d target position of the fingertip servo, in [-1, 1] scaled
+    to the joint ctrlrange. Reward: -|F - F_target|/F_target per step,
+    clipped to [-2, 0]. Episode: 100 steps, no termination.
+    `info["is_success"]`: >=60% of the episode's second half spent within
+    +-25% of the target force.
+    """
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 40}
+
+    F_TARGET = 4.0
+    HORIZON = 100
+
+    def __init__(self, render_mode: str = "rgb_array", width: int = 64, height: int = 64):
+        import mujoco
+
+        self._mujoco = mujoco
+        self.model = mujoco.MjModel.from_xml_string(_XML)
+        self.data = mujoco.MjData(self.model)
+        self.render_mode = render_mode
+        self._renderer = None
+        self._width, self._height = width, height
+        self._plate_jnt = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_JOINT, "plate_z")
+        self._touch_adr = self.model.sensor_adr[
+            mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_SENSOR, "tip_touch")
+        ]
+        self._ctrl_lo, self._ctrl_hi = self.model.actuator_ctrlrange[0]
+        self.action_space = Box(low=-1.0, high=1.0, shape=(1,), dtype=np.float32)
+        self.observation_space = Box(low=-np.inf, high=np.inf, shape=(4,), dtype=np.float32)
+        self._rng = np.random.default_rng(0)
+        self._t = 0
+        self._in_band = 0
+
+    # -- helpers ---------------------------------------------------------- #
+    def _force(self) -> float:
+        return float(self.data.sensordata[self._touch_adr])
+
+    def _state(self) -> np.ndarray:
+        return np.array(
+            [self.data.qpos[0], self.data.qpos[1], self.data.qvel[1], self._force()],
+            np.float32,
+        )
+
+    # -- gym API ---------------------------------------------------------- #
+    def reset(self, seed=None, options=None):
+        if seed is not None:
+            self._rng = np.random.default_rng(seed)
+        self._mujoco.mj_resetData(self.model, self.data)
+        # per-episode stiffness: same pixels, different force law. The spring
+        # reference absorbs the gravity sag (q_rest = springref - m*g/k) so the
+        # plate's REST height is identical for every stiffness — otherwise the
+        # sag would leak the stiffness to the camera.
+        k = self._rng.uniform(100.0, 600.0)
+        self.model.jnt_stiffness[self._plate_jnt] = k
+        plate_mass = 0.15
+        qposadr = self.model.jnt_qposadr[self._plate_jnt]
+        self.model.qpos_spring[qposadr] = plate_mass * 9.81 / k
+        self.data.qpos[1] = self._rng.uniform(-0.02, 0.02)  # finger start jitter
+        self.data.ctrl[0] = self.data.qpos[1]
+        self._mujoco.mj_forward(self.model, self.data)
+        self._t = 0
+        self._in_band = 0
+        return self._state(), {}
+
+    def step(self, action):
+        a = float(np.clip(np.asarray(action).ravel()[0], -1.0, 1.0))
+        self.data.ctrl[0] = self._ctrl_lo + (a + 1.0) * 0.5 * (self._ctrl_hi - self._ctrl_lo)
+        for _ in range(4):  # 50 Hz control over 5 ms physics steps
+            self._mujoco.mj_step(self.model, self.data)
+        self._t += 1
+        f = self._force()
+        err = abs(f - self.F_TARGET) / self.F_TARGET
+        reward = -min(err, 2.0)
+        if self._t > self.HORIZON // 2 and err < 0.25:
+            self._in_band += 1
+        truncated = self._t >= self.HORIZON
+        info = {}
+        if truncated:
+            info["is_success"] = self._in_band >= 0.6 * (self.HORIZON // 2)
+        return self._state(), reward, False, truncated, info
+
+    def render(self):
+        if self._renderer is None:
+            import mujoco
+
+            self._renderer = mujoco.Renderer(self.model, height=self._height, width=self._width)
+        self._renderer.update_scene(self.data, camera="view")
+        return self._renderer.render()
+
+    def close(self):
+        if self._renderer is not None:
+            self._renderer.close()
+            self._renderer = None
+
+
+def register():
+    """Idempotently register TouchPress-v0 with gymnasium."""
+    if "TouchPress-v0" not in gym.registry:
+        gym.register(
+            id="TouchPress-v0",
+            entry_point="m3l_tpu.envs.touch_press:TouchPressEnv",
+            max_episode_steps=TouchPressEnv.HORIZON,
+        )

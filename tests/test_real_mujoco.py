@@ -116,3 +116,53 @@ def test_dp_sharded_update_matches_single_device():
     m_dp = run(make_mesh(4, mp=1))
     for k in ("mae_loss", "policy_loss", "value_loss"):
         np.testing.assert_allclose(m_single[k], m_dp[k], rtol=2e-3, atol=2e-4)
+
+
+def test_touch_press_env():
+    """TouchPress-v0 (in-repo force-regulation env, envs/touch_press.py):
+    pixels+touch pipeline shapes, per-episode stiffness randomization with
+    gravity-sag compensation (rest pose identical across k), and
+    solvability: a force-feedback P-controller on the touch reading reaches
+    the target band on every stiffness, which a pixels-only policy cannot
+    (the stiffness is invisible). Subprocess-isolated for EGL."""
+    pytest.importorskip("mujoco")
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import os
+os.environ["MUJOCO_GL"] = "egl"
+import numpy as np
+from m3l_tpu.envs import make_env
+env = make_env("MuJoCoPixels/TouchPress-v0", 0, 0, "vision_and_touch", frame_stack=2, allow_fake=False)()
+obs, _ = env.reset(seed=0)
+assert obs["image"].shape == (2, 64, 64, 3) and obs["image"].dtype == np.uint8
+assert obs["tactile"].shape == (2, 3, 32, 32)
+inner = env.env.env.unwrapped
+rest = []
+for ep in range(2):
+    env.reset(seed=50 + ep)
+    rest.append((float(inner.data.qpos[0]), float(inner.model.jnt_stiffness[inner._plate_jnt])))
+ks = {round(k) for _, k in rest}
+assert len(ks) == 2  # stiffness actually varies
+assert all(abs(q) < 1e-3 for q, _ in rest)  # ...but the rest pose does not
+succ = []
+for ep in range(2):
+    env.reset(seed=200 + ep)
+    a = np.array([-0.3], np.float32)
+    for _ in range(100):
+        o, r, te, tr, info = env.step(a)
+        a = np.clip(a - 0.02 * np.sign(4.0 - inner._force()), -1, 1)
+    succ.append(info["is_success"])
+    assert np.abs(o["tactile"]).max() > 0.0
+assert all(succ), succ
+env.close()
+print("TOUCH_PRESS_OK")
+"""
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", code], env=env, capture_output=True, text=True, timeout=300)
+    assert "TOUCH_PRESS_OK" in out.stdout, out.stdout + out.stderr
