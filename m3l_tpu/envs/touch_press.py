@@ -28,10 +28,11 @@ _XML = """
   <option timestep="0.005" gravity="0 0 -9.81"/>
   <visual>
     <global offwidth="128" offheight="128"/>
+    <quality shadowsize="0" offsamples="0"/>
     <headlight ambient="0.4 0.4 0.4" diffuse="0.6 0.6 0.6"/>
   </visual>
   <worldbody>
-    <light pos="0.2 0.2 1" dir="-0.2 -0.2 -1"/>
+    <light pos="0.2 0.2 1" dir="-0.2 -0.2 -1" castshadow="false"/>
     <geom name="floor" type="plane" size="1 1 0.1" rgba="0.25 0.27 0.32 1"/>
     <body name="base" pos="0 0 0.06">
       <geom name="pedestal" type="cylinder" size="0.05 0.06" rgba="0.4 0.4 0.45 1"/>
