@@ -120,7 +120,10 @@ class TouchPressEnv(gym.Env):
         # reference absorbs the gravity sag (q_rest = springref - m*g/k) so the
         # plate's REST height is identical for every stiffness — otherwise the
         # sag would leak the stiffness to the camera.
-        k = self._rng.uniform(100.0, 600.0)
+        # 24x stiffness spread: the best fixed-depth (vision-only) policy's
+        # expected force error is >0.7 of target, while force feedback is
+        # stiffness-agnostic — this is what separates the ablation arms
+        k = self._rng.uniform(50.0, 1200.0)
         self.model.jnt_stiffness[self._plate_jnt] = k
         plate_mass = 0.15
         qposadr = self.model.jnt_qposadr[self._plate_jnt]

@@ -25,6 +25,7 @@ from flax import nnx
 from ..nn.vit_layers import DINOHead
 from ..models.vit import VisionTransformer
 from .dino import CenterState, DINOModule, _layer_norm
+from .module import as_float_image
 from .losses import (
     DINOLossState,
     dino_cross_entropy,
