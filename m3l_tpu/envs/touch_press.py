@@ -1,16 +1,33 @@
 """TouchPress-v0: a real-MuJoCo force-regulation env where touch is load-bearing.
 
 A position-actuated fingertip must press a spring-mounted plate to a target
-contact force. The plate's stiffness is randomized per episode and is
-INVISIBLE to the camera (the same deflection means a different force each
-episode), so regulating force requires reading the fingertip's MuJoCo touch
-sensor — pixels alone cannot solve the task. This gives the vision+touch
-real-physics path (reference claim README.md:3, arXiv:2311.00924: tactile
-information improves policies that vision alone cannot complete) a
-controlled, learnable testbed with an explicit vision-only ablation:
+contact force. TWO gains are randomized per episode and are INVISIBLE to the
+camera, so every pixel-observable quantity maps to a different force each
+episode and regulating force requires reading the fingertip's MuJoCo touch
+sensor:
+
+* plate stiffness k ~ U(80, 1200) N/m — the same plate deflection means a
+  15x different contact force;
+* servo gain kp ~ U(30, 160) N/m — the same finger servo error means an
+  8x different pressing force. (With a FIXED kp this env is solvable from
+  pixels alone: a reactive policy can command ctrl = q_finger - F/kp and the
+  servo converts the visible position error into an exact force — both arms
+  of the ablation learned identical curves until kp was hidden too.)
+
+A vision+touch policy closes the loop on the measured force. With the
+standard frame_stack=2 observation it can regulate EXACTLY despite both
+hidden gains: a deterministic policy can recompute its own previous command
+from the stacked previous frame, identify the servo gain from the realized
+force (kp = F / (q - ctrl_prev)), and command the exact servo error
+ctrl = q - F_target/kp — a computation that needs the touch reading twice.
+A vision-only policy can only press to a depth/deflection/servo-error that
+is right on average, paying the hidden-gain spread. This gives the vision+touch real-physics
+path (reference claim README.md:3, arXiv:2311.00924: tactile information
+improves policies that vision alone cannot complete) a controlled, learnable
+testbed with an explicit vision-only ablation:
 
     PPO(state_type=vision_and_touch)  -> can regulate to the target band
-    PPO(state_type=vision)            -> can at best press to an average depth
+    PPO(state_type=vision)            -> plateaus at the hidden-gain floor
 
 Exposed through the factory as ``MuJoCoPixels/TouchPress-v0`` (registered on
 import); `RenderImageObservation` renders the camera and maps the touch
@@ -34,27 +51,27 @@ _XML = """
   <worldbody>
     <light pos="0.2 0.2 1" dir="-0.2 -0.2 -1" castshadow="false"/>
     <geom name="floor" type="plane" size="1 1 0.1" rgba="0.25 0.27 0.32 1"/>
-    <body name="base" pos="0 0 0.06">
-      <geom name="pedestal" type="cylinder" size="0.05 0.06" rgba="0.4 0.4 0.45 1"/>
+    <body name="base" pos="0 0 0.035">
+      <geom name="pedestal" type="cylinder" size="0.05 0.035" rgba="0.4 0.4 0.45 1"/>
     </body>
-    <body name="plate" pos="0 0 0.13">
-      <joint name="plate_z" type="slide" axis="0 0 1" range="-0.09 0"
+    <body name="plate" pos="0 0 0.22">
+      <joint name="plate_z" type="slide" axis="0 0 1" range="-0.12 0"
              stiffness="300" damping="8" limited="true"/>
-      <geom name="plate_geom" type="box" size="0.07 0.07 0.008" mass="0.15"
-            rgba="0.85 0.55 0.2 1"/>
+      <geom name="plate_geom" type="box" size="0.07 0.07 0.02" mass="0.15"
+            solref="0.02 1" rgba="0.85 0.55 0.2 1"/>
     </body>
     <body name="finger" pos="0 0 0.3">
-      <joint name="finger_z" type="slide" axis="0 0 1" range="-0.26 0.04"
-             damping="2" limited="true"/>
+      <joint name="finger_z" type="slide" axis="0 0 1" range="-0.28 0.04"
+             damping="6" limited="true"/>
       <geom name="shaft" type="capsule" fromto="0 0 0.01 0 0 0.1" size="0.008"
             rgba="0.6 0.62 0.68 1" mass="0.04"/>
       <geom name="tip" type="sphere" size="0.014" rgba="0.2 0.6 0.9 1" mass="0.02"/>
       <site name="tip_site" type="sphere" size="0.016" rgba="1 0 0 0"/>
     </body>
-    <camera name="view" pos="0.38 0 0.24" xyaxes="0 1 0 -0.45 0 1"/>
+    <camera name="view" pos="0.38 0 0.34" xyaxes="0 1 0 -0.2 0 1"/>
   </worldbody>
   <actuator>
-    <position name="press" joint="finger_z" kp="60" ctrlrange="-0.26 0.04"/>
+    <position name="press" joint="finger_z" kp="60" ctrlrange="-0.28 0.04"/>
   </actuator>
   <sensor>
     <touch name="tip_touch" site="tip_site"/>
@@ -120,14 +137,26 @@ class TouchPressEnv(gym.Env):
         # reference absorbs the gravity sag (q_rest = springref - m*g/k) so the
         # plate's REST height is identical for every stiffness — otherwise the
         # sag would leak the stiffness to the camera.
-        # 24x stiffness spread: the best fixed-depth (vision-only) policy's
-        # expected force error is >0.7 of target, while force feedback is
-        # stiffness-agnostic — this is what separates the ablation arms
-        k = self._rng.uniform(50.0, 1200.0)
-        self.model.jnt_stiffness[self._plate_jnt] = k
+        # 15x stiffness spread: the best fixed-deflection (vision-only)
+        # policy's expected force error is >0.5 of target, while force
+        # feedback is stiffness-agnostic — this separates the ablation arms.
         plate_mass = 0.15
+        k = self._rng.uniform(80.0, 1200.0)
+        dofadr = self.model.jnt_dofadr[self._plate_jnt]
+        self.model.jnt_stiffness[self._plate_jnt] = k
+        # near-critical plate damping at every k: constant damping would make
+        # soft episodes bouncy and stiff ones overdamped (and the contact
+        # bounce loop wrecks force regulation for BOTH arms).
+        self.model.dof_damping[dofadr] = 1.8 * np.sqrt(plate_mass * k)
         qposadr = self.model.jnt_qposadr[self._plate_jnt]
         self.model.qpos_spring[qposadr] = plate_mass * 9.81 / k
+        # Hidden servo gain (see module docstring): with kp fixed, vision
+        # reads force off the servo's own spring (F = kp * visible position
+        # error), bypassing touch entirely. MuJoCo position actuator:
+        # gainprm[0] = kp, biasprm = (0, -kp, -kv).
+        kp = self._rng.uniform(30.0, 160.0)
+        self.model.actuator_gainprm[0, 0] = kp
+        self.model.actuator_biasprm[0, 1] = -kp
         self.data.qpos[1] = self._rng.uniform(-0.02, 0.02)  # finger start jitter
         self.data.ctrl[0] = self.data.qpos[1]
         self._mujoco.mj_forward(self.model, self.data)

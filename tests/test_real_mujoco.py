@@ -120,11 +120,12 @@ def test_dp_sharded_update_matches_single_device():
 
 def test_touch_press_env():
     """TouchPress-v0 (in-repo force-regulation env, envs/touch_press.py):
-    pixels+touch pipeline shapes, per-episode stiffness randomization with
-    gravity-sag compensation (rest pose identical across k), and
-    solvability: a force-feedback P-controller on the touch reading reaches
-    the target band on every stiffness, which a pixels-only policy cannot
-    (the stiffness is invisible). Subprocess-isolated for EGL."""
+    pixels+touch pipeline shapes, per-episode randomization of BOTH hidden
+    gains (plate stiffness k and servo gain kp) with gravity-sag compensation
+    (rest pose identical across k), and solvability: a force-feedback
+    controller on the touch reading reaches the target band on every (k, kp),
+    which a pixels-only policy cannot (both gains are invisible).
+    Subprocess-isolated for EGL."""
     pytest.importorskip("mujoco")
     import os
     import subprocess
@@ -143,10 +144,13 @@ inner = env.env.env.unwrapped
 rest = []
 for ep in range(2):
     env.reset(seed=50 + ep)
-    rest.append((float(inner.data.qpos[0]), float(inner.model.jnt_stiffness[inner._plate_jnt])))
-ks = {round(k) for _, k in rest}
-assert len(ks) == 2  # stiffness actually varies
-assert all(abs(q) < 1e-3 for q, _ in rest)  # ...but the rest pose does not
+    rest.append((float(inner.data.qpos[0]), float(inner.model.jnt_stiffness[inner._plate_jnt]),
+                 float(inner.model.actuator_gainprm[0, 0])))
+ks = {round(k) for _, k, _ in rest}
+kps = {round(kp) for _, _, kp in rest}
+assert len(ks) == 2  # plate stiffness actually varies
+assert len(kps) == 2  # servo gain actually varies (closes the F=kp*dq leak)
+assert all(abs(q) < 1e-3 for q, _, _ in rest)  # ...but the rest pose does not
 succ = []
 for ep in range(2):
     env.reset(seed=200 + ep)
