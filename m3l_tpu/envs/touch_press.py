@@ -14,17 +14,18 @@ sensor:
   servo converts the visible position error into an exact force — both arms
   of the ablation learned identical curves until kp was hidden too.)
 
-A vision+touch policy closes the loop on the measured force. With the
-standard frame_stack=2 observation it can regulate EXACTLY despite both
-hidden gains: a deterministic policy can recompute its own previous command
-from the stacked previous frame, identify the servo gain from the realized
-force (kp = F / (q - ctrl_prev)), and command the exact servo error
-ctrl = q - F_target/kp — a computation that needs the touch reading twice.
-A vision-only policy can only press to a depth/deflection/servo-error that
-is right on average, paying the hidden-gain spread. This gives the vision+touch real-physics
-path (reference claim README.md:3, arXiv:2311.00924: tactile information
-improves policies that vision alone cannot complete) a controlled, learnable
-testbed with an explicit vision-only ablation:
+The action is INCREMENTAL: a in [-1, 1] moves the servo setpoint by up to
+DCTRL_MAX per step (the setpoint integrates env-side, like a velocity /
+impedance command). This makes the touch-feedback solution a memoryless
+linear law — a = -c * (F_target - F) is an integral force controller that
+settles exactly at F_target for EVERY hidden (k, kp) pair — while a
+vision-only policy still cannot form F: at best it can regulate a visible
+quantity (finger depth or plate deflection), whose equilibrium force is
+k * deflection and therefore pays the full 15x stiffness spread. This gives
+the vision+touch real-physics path (reference claim README.md:3,
+arXiv:2311.00924: tactile information improves policies that vision alone
+cannot complete) a controlled, learnable testbed with an explicit
+vision-only ablation:
 
     PPO(state_type=vision_and_touch)  -> can regulate to the target band
     PPO(state_type=vision)            -> plateaus at the hidden-gain floor
@@ -86,9 +87,10 @@ class TouchPressEnv(gym.Env):
     Observation (dict): proprioceptive state is withheld — built for the
     pixels(+touch) pipeline, so `render()` is the intended observation and
     the raw obs is the minimal qpos/force vector (used by tests only).
-    Action: 1-d target position of the fingertip servo, in [-1, 1] scaled
-    to the joint ctrlrange. Reward: -|F - F_target|/F_target per step,
-    clipped to [-2, 0]. Episode: 100 steps, no termination.
+    Action: 1-d INCREMENT of the fingertip servo setpoint, in [-1, 1]
+    scaled to +-DCTRL_MAX metres per step; the setpoint integrates env-side
+    and is clipped to the ctrlrange. Reward: -|F - F_target|/F_target per
+    step, clipped to [-2, 0]. Episode: 100 steps, no termination.
     `info["is_success"]`: >=60% of the episode's second half spent within
     +-25% of the target force.
     """
@@ -97,6 +99,7 @@ class TouchPressEnv(gym.Env):
 
     F_TARGET = 4.0
     HORIZON = 100
+    DCTRL_MAX = 0.01  # metres of setpoint travel per env step
 
     def __init__(self, render_mode: str = "rgb_array", width: int = 64, height: int = 64):
         import mujoco
@@ -166,7 +169,9 @@ class TouchPressEnv(gym.Env):
 
     def step(self, action):
         a = float(np.clip(np.asarray(action).ravel()[0], -1.0, 1.0))
-        self.data.ctrl[0] = self._ctrl_lo + (a + 1.0) * 0.5 * (self._ctrl_hi - self._ctrl_lo)
+        self.data.ctrl[0] = np.clip(
+            self.data.ctrl[0] + a * self.DCTRL_MAX, self._ctrl_lo, self._ctrl_hi
+        )
         for _ in range(4):  # 50 Hz control over 5 ms physics steps
             self._mujoco.mj_step(self.model, self.data)
         self._t += 1

@@ -7,26 +7,34 @@ return. These are the ceilings the PPO ablation arms are compared against
 (reference claim arXiv:2311.00924 / README.md:3: tactile information
 improves policies that vision alone cannot complete).
 
-Laws:
-  T-2frame : touch + pixels, the 2-frame-exact law a deterministic
-             frame_stack=2 policy can represent — recompute the previous
-             command from the previous frame, identify kp = F/(q-ctrl_prev)
-             from the realized force, command ctrl = q - F_target/kp.
-  V-servo  : vision-only exploit of a FIXED servo gain (the leak that
-             motivated hiding kp): ctrl = q - F_target/kp_hat.
-  V-deflect: vision-only, press until the visible plate deflection matches
-             F_target/k_hat.
-  V-depth  : vision-only, press to a fixed depth.
+Actions are incremental (env-side setpoint integration, DCTRL_MAX/step), so
+a MEMORYLESS law in the observation is exactly what a reactive frame-stacked
+policy can represent.
 
-Result (2026-08-17, seed-free deterministic grid):
-  T-2frame            : mean err 0.000  worst 0.000  mean return  -5.5
-  best V-servo (140)  : mean err 0.313  worst 0.639  mean return -34.7
-  best V-depth (-0.1) : mean err 0.375  worst 0.968  mean return -38.4
-  best V-deflect (250): mean err 0.721  worst 0.826  mean return -74.2
+Laws:
+  T-int    : touch only — a = -c*(F_target - F). An integral force
+             controller: settles exactly at F_target for every hidden
+             (k, kp) pair. Linear in the touch reading; the simplest
+             law a policy can learn.
+  V-depth  : vision only — regulate the VISIBLE finger depth to a fixed
+             d*: a = -c*(q - d*). Equilibrium force = k * deflection(d*),
+             so it pays the full stiffness spread.
+  V-deflect: vision only — regulate the VISIBLE plate deflection to a
+             fixed x*: a = -c*(x* - x_p). Equilibrium force = k*x*: also
+             pays the stiffness spread, but deflection is the closest
+             visible proxy of force.
+  (The servo-error exploit ctrl = q - F/kp is no longer expressible at
+  all: with incremental actions the absolute setpoint is internal env
+  state, and kp is hidden anyway.)
+
+Result (2026-08-17, deterministic grid, k in {80..1200} x kp in {30..160}):
+  T-int c=0.5           : mean err 0.000  worst 0.000  mean return  -6.7
+  best V-depth (-0.052) : mean err 0.481  worst 0.885  mean return -51.7
+  best V-deflect (5mm)  : mean err 0.510  worst 0.900  mean return -59.9
 
 i.e. touch feedback regulates exactly on every (k, kp) pair while the best
-vision-only strategy pays >=0.3 of the target force in steady-state error
-(episode-return ceiling about -35 vs -5.5 for touch).
+vision-only strategy pays ~0.5 of the target force in steady-state error
+(episode-return ceiling about -52 vs -6.7 for touch).
 
 Run: JAX_PLATFORMS=cpu python scripts/touchpress_laws.py
 """
@@ -60,31 +68,20 @@ def _setup(env: TouchPressEnv, k: float, kp: float) -> None:
 
 def episode(env: TouchPressEnv, law: str, k: float, kp: float, **kw):
     _setup(env, k, kp)
-    lo, hi = env._ctrl_lo, env._ctrl_hi
-    ctrl = float(env.data.ctrl[0])
-    prev_ctrl = ctrl
     errs, ret = [], 0.0
     for t in range(TouchPressEnv.HORIZON):
         q = float(env.data.qpos[1])
         F = env._force()
-        if law == "T-2frame":
-            if F < 0.2:
-                ctrl = q - 0.02
-            else:
-                kp_hat = max(F / max(q - prev_ctrl, 1e-4), 5.0)
-                ctrl = q - Ft / kp_hat
-        elif law == "V-servo":
-            ctrl = (q - 0.02) if F < 0.2 else q - Ft / kw["kp_hat"]
+        if law == "T-int":
+            a = -kw["c"] * (Ft - F)
+        elif law == "V-depth":
+            a = -50.0 * (q - kw["depth"])
         elif law == "V-deflect":
             xp = -float(env.data.qpos[0])
-            ctrl = q - kw["beta"] * (Ft / kw["k_hat"] - xp)
-        elif law == "V-depth":
-            ctrl = kw["depth"]
+            a = -50.0 * (kw["x_star"] - xp)
         else:
             raise ValueError(law)
-        prev_ctrl = ctrl
-        ctrl = float(np.clip(ctrl, lo, hi))
-        _, r, _, _, _ = env.step([2.0 * (ctrl - lo) / (hi - lo) - 1.0])
+        _, r, _, _, _ = env.step([float(np.clip(a, -1.0, 1.0))])
         ret += r
         if t >= TouchPressEnv.HORIZON // 2:
             errs.append(abs(env._force() - Ft) / Ft)
@@ -99,17 +96,15 @@ def grid(env: TouchPressEnv, law: str, **kw):
 
 def main() -> None:
     env = TouchPressEnv()
-    m, w, r = grid(env, "T-2frame")
-    print(f"T-2frame: mean={m:.3f} worst={w:.3f} meanret={r:.1f}")
-    for kp_hat in (60, 75, 100, 140):
-        m, w, r = grid(env, "V-servo", kp_hat=kp_hat)
-        print(f"V-servo kp_hat={kp_hat}: mean={m:.3f} worst={w:.3f} meanret={r:.1f}")
-    for k_hat in (250, 400, 550):
-        m, w, r = grid(env, "V-deflect", k_hat=k_hat, beta=0.5)
-        print(f"V-deflect k_hat={k_hat}: mean={m:.3f} worst={w:.3f} meanret={r:.1f}")
-    for depth in (-0.06, -0.08, -0.1, -0.12):
+    for c in (0.25, 0.5, 1.0):
+        m, w, r = grid(env, "T-int", c=c)
+        print(f"T-int c={c}: mean={m:.3f} worst={w:.3f} meanret={r:.1f}")
+    for depth in (-0.048, -0.05, -0.052, -0.054, -0.06, -0.075):
         m, w, r = grid(env, "V-depth", depth=depth)
         print(f"V-depth d={depth}: mean={m:.3f} worst={w:.3f} meanret={r:.1f}")
+    for x_star in (0.003, 0.005, 0.006, 0.008, 0.014):
+        m, w, r = grid(env, "V-deflect", x_star=x_star)
+        print(f"V-deflect x*={x_star}: mean={m:.3f} worst={w:.3f} meanret={r:.1f}")
 
 
 if __name__ == "__main__":

@@ -154,10 +154,10 @@ assert all(abs(q) < 1e-3 for q, _, _ in rest)  # ...but the rest pose does not
 succ = []
 for ep in range(2):
     env.reset(seed=200 + ep)
-    a = np.array([-0.3], np.float32)
     for _ in range(100):
+        # memoryless integral force law (actions are setpoint increments)
+        a = np.clip([-0.5 * (4.0 - inner._force())], -1, 1).astype(np.float32)
         o, r, te, tr, info = env.step(a)
-        a = np.clip(a - 0.02 * np.sign(4.0 - inner._force()), -1, 1)
     succ.append(info["is_success"])
     assert np.abs(o["tactile"]).max() > 0.0
 assert all(succ), succ
