@@ -160,8 +160,15 @@ class TouchPressEnv(gym.Env):
         kp = self._rng.uniform(30.0, 160.0)
         self.model.actuator_gainprm[0, 0] = kp
         self.model.actuator_biasprm[0, 1] = -kp
-        self.data.qpos[1] = self._rng.uniform(-0.02, 0.02)  # finger start jitter
-        self.data.ctrl[0] = self.data.qpos[1]
+        # Start the fingertip 0.4-1.6 cm above the plate (contact at
+        # q = -0.046): with incremental actions, exploration is a random
+        # walk of the setpoint, and starting high up means most early
+        # episodes never make contact - constant -1 reward, no gradient.
+        # The random gap also masks what is left of the kp sag signal.
+        self.data.qpos[1] = self._rng.uniform(-0.042, -0.030)
+        # gravity-sag compensation: hold the start pose exactly (finger
+        # mass 0.06 kg), else soft-kp episodes sink into contact at rest.
+        self.data.ctrl[0] = self.data.qpos[1] + 0.06 * 9.81 / kp
         self._mujoco.mj_forward(self.model, self.data)
         self._t = 0
         self._in_band = 0

@@ -28,13 +28,13 @@ Laws:
   state, and kp is hidden anyway.)
 
 Result (2026-08-17, deterministic grid, k in {80..1200} x kp in {30..160}):
-  T-int c=0.5           : mean err 0.000  worst 0.000  mean return  -6.7
-  best V-depth (-0.052) : mean err 0.481  worst 0.885  mean return -51.7
-  best V-deflect (5mm)  : mean err 0.510  worst 0.900  mean return -59.9
+  T-int c=0.5           : mean err 0.000  worst 0.000  mean return  -4.9
+  best V-depth (-0.052) : mean err 0.483  worst 0.885  mean return -53.3
+  best V-deflect (6mm)  : mean err 0.538  worst 0.880  mean return -56.5
 
 i.e. touch feedback regulates exactly on every (k, kp) pair while the best
 vision-only strategy pays ~0.5 of the target force in steady-state error
-(episode-return ceiling about -52 vs -6.7 for touch).
+(episode-return ceiling about -53 vs -4.9 for touch, a 10x gap).
 
 Run: JAX_PLATFORMS=cpu python scripts/touchpress_laws.py
 """
