@@ -90,7 +90,13 @@ class TouchPressEnv(gym.Env):
     Action: 1-d INCREMENT of the fingertip servo setpoint, in [-1, 1]
     scaled to +-DCTRL_MAX metres per step; the setpoint integrates env-side
     and is clipped to the ctrlrange. Reward: -|F - F_target|/F_target per
-    step, clipped to [-2, 0]. Episode: 100 steps, no termination.
+    step, clipped to [-1, 0] — the clip floor equals the no-contact reward
+    (F=0 -> err=1) so pressing too hard is never WORSE than not touching.
+    (With a [-2, 0] clip, un-regulated pressing bottoms the plate out at up
+    to ~30x the target force, every early pressing episode scores -150..-200
+    against a safe -100 for hovering, and PPO converges to never touching:
+    observed flat at exactly -100.00 for 229k steps.) Episode: 100 steps, no
+    termination.
     `info["is_success"]`: >=60% of the episode's second half spent within
     +-25% of the target force.
     """
@@ -184,7 +190,7 @@ class TouchPressEnv(gym.Env):
         self._t += 1
         f = self._force()
         err = abs(f - self.F_TARGET) / self.F_TARGET
-        reward = -min(err, 2.0)
+        reward = -min(err, 1.0)
         if self._t > self.HORIZON // 2 and err < 0.25:
             self._in_band += 1
         truncated = self._t >= self.HORIZON

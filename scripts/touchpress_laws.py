@@ -27,7 +27,10 @@ Laws:
   all: with incremental actions the absolute setpoint is internal env
   state, and kp is hidden anyway.)
 
-Result (2026-08-17, deterministic grid, k in {80..1200} x kp in {30..160}):
+Result (2026-08-17, deterministic grid, k in {80..1200} x kp in {30..160};
+re-derived unchanged after the reward clip moved from [-2,0] to [-1,0] —
+the scripted laws never overshoot past err=1, so their returns are
+identical under both clips):
   T-int c=0.5           : mean err 0.000  worst 0.000  mean return  -4.9
   best V-depth (-0.052) : mean err 0.483  worst 0.885  mean return -53.3
   best V-deflect (6mm)  : mean err 0.538  worst 0.880  mean return -56.5
