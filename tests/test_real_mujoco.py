@@ -161,6 +161,17 @@ for ep in range(2):
     succ.append(info["is_success"])
     assert np.abs(o["tactile"]).max() > 0.0
 assert all(succ), succ
+# Reward-floor property: pressing far past the target force must never score
+# WORSE than hovering out of contact (-1/step), or PPO exploration collapses
+# to contact avoidance (observed: flat -100.00 for 229k steps under a [-2,0]
+# clip). Drive to the bottom stop and compare against the no-contact reward.
+env.reset(seed=300)
+r_hover = env.step(np.array([1.0], np.float32))[1]  # retreat upward: F=0
+assert r_hover == -1.0, r_hover
+for _ in range(60):
+    o, r_press, te, tr, info = env.step(np.array([-1.0], np.float32))
+assert inner._force() > 2 * inner.F_TARGET  # genuinely overshooting
+assert r_press >= r_hover, (r_press, r_hover)
 env.close()
 print("TOUCH_PRESS_OK")
 """
