@@ -166,16 +166,26 @@ class TouchPressEnv(gym.Env):
         kp = self._rng.uniform(30.0, 160.0)
         self.model.actuator_gainprm[0, 0] = kp
         self.model.actuator_biasprm[0, 1] = -kp
-        # Start the fingertip 0.4-1.6 cm above the plate (contact at
-        # q = -0.046): with incremental actions, exploration is a random
-        # walk of the setpoint, and starting high up means most early
-        # episodes never make contact - constant -1 reward, no gradient.
-        # The random gap also masks what is left of the kp sag signal.
-        self.data.qpos[1] = self._rng.uniform(-0.042, -0.030)
-        # gravity-sag compensation: hold the start pose exactly (finger
-        # mass 0.06 kg), else soft-kp episodes sink into contact at rest.
-        self.data.ctrl[0] = self.data.qpos[1] + 0.06 * 9.81 / kp
+        # Start every episode IN CONTACT, pressing with a random force
+        # F0 ~ U(0.5, 7) N (err 0.05-0.88 vs the 4 N target). The task is
+        # force REGULATION, not reaching: with incremental actions the
+        # initial policy's mean-action bias (~+-0.1) integrates to ~10 cm of
+        # setpoint drift per episode, so episodes started out of contact
+        # almost never touch under exploration (observed: ~0.02% touch
+        # steps, ep_rew pinned at the -100 no-contact floor for 229k+
+        # steps). Starting on the reward gradient gives both ablation arms
+        # signal from step 0; only touch can tell WHICH force it starts at
+        # (the same F0 looks different on camera for every hidden k). The
+        # servo setpoint is placed past the contact point by F0/kp (finger
+        # weight folded in) and a short settle loop reaches the near-
+        # critically-damped equilibrium before the first observation.
+        contact_q = -0.046
+        f0 = self._rng.uniform(0.5, 7.0)
+        self.data.qpos[1] = contact_q
+        self.data.ctrl[0] = contact_q - (f0 - 0.06 * 9.81) / kp
         self._mujoco.mj_forward(self.model, self.data)
+        for _ in range(40):  # 0.2 s settle at the episode's (k, kp)
+            self._mujoco.mj_step(self.model, self.data)
         self._t = 0
         self._in_band = 0
         return self._state(), {}

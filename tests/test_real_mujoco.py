@@ -144,13 +144,17 @@ inner = env.env.env.unwrapped
 rest = []
 for ep in range(2):
     env.reset(seed=50 + ep)
-    rest.append((float(inner.data.qpos[0]), float(inner.model.jnt_stiffness[inner._plate_jnt]),
+    rest.append((inner._force(), float(inner.model.jnt_stiffness[inner._plate_jnt]),
                  float(inner.model.actuator_gainprm[0, 0])))
 ks = {round(k) for _, k, _ in rest}
 kps = {round(kp) for _, _, kp in rest}
 assert len(ks) == 2  # plate stiffness actually varies
 assert len(kps) == 2  # servo gain actually varies (closes the F=kp*dq leak)
-assert all(abs(q) < 1e-3 for q, _, _ in rest)  # ...but the rest pose does not
+# episodes start IN CONTACT with a random press force (regulation task:
+# reward gradient from step 0), and the start force itself varies
+f0s = [f for f, _, _ in rest]
+assert all(f > 0.1 for f in f0s), f0s
+assert abs(f0s[0] - f0s[1]) > 0.05, f0s
 succ = []
 for ep in range(2):
     env.reset(seed=200 + ep)
@@ -166,7 +170,8 @@ assert all(succ), succ
 # to contact avoidance (observed: flat -100.00 for 229k steps under a [-2,0]
 # clip). Drive to the bottom stop and compare against the no-contact reward.
 env.reset(seed=300)
-r_hover = env.step(np.array([1.0], np.float32))[1]  # retreat upward: F=0
+for _ in range(20):  # retreat fully out of contact
+    r_hover = env.step(np.array([1.0], np.float32))[1]
 assert r_hover == -1.0, r_hover
 for _ in range(60):
     o, r_press, te, tr, info = env.step(np.array([-1.0], np.float32))
