@@ -27,17 +27,16 @@ Laws:
   all: with incremental actions the absolute setpoint is internal env
   state, and kp is hidden anyway.)
 
-Result (2026-08-17, deterministic grid, k in {80..1200} x kp in {30..160};
-re-derived unchanged after the reward clip moved from [-2,0] to [-1,0] —
-the scripted laws never overshoot past err=1, so their returns are
-identical under both clips):
-  T-int c=0.5           : mean err 0.000  worst 0.000  mean return  -4.9
-  best V-depth (-0.052) : mean err 0.483  worst 0.885  mean return -53.3
-  best V-deflect (6mm)  : mean err 0.538  worst 0.880  mean return -56.5
+Result (2026-08-17, deterministic grid, k in {80..1200} x kp in {30..160},
+in-contact random-F0 start, reward clip [-1, 0]):
+  T-int c=1.0           : mean err 0.000  worst 0.000  mean return  -2.8
+  T-int c=0.5           : mean err 0.000  worst 0.000  mean return  -3.3
+  best V-depth (-0.052) : mean err 0.483  worst 0.885  mean return -51.5
+  best V-deflect (5mm)  : mean err 0.511  worst 0.900  mean return -54.2
 
 i.e. touch feedback regulates exactly on every (k, kp) pair while the best
 vision-only strategy pays ~0.5 of the target force in steady-state error
-(episode-return ceiling about -53 vs -4.9 for touch, a 10x gap).
+(episode-return ceiling about -51 vs -3, a 15x gap).
 
 Run: JAX_PLATFORMS=cpu python scripts/touchpress_laws.py
 """
