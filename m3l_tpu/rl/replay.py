@@ -278,7 +278,10 @@ class DeviceReplayBuffer:
                 self._timeout_pos = (tpos + 1) % self.timeout_capacity
                 # the previous tenant of this slot is still sampleable if the
                 # main ring has not wrapped past its referencing row yet
-                if self._write_count - self._slot_alloc_write[tpos] < self.capacity:
+                # (int64.min marks a never-allocated slot; compare in Python
+                # ints — numpy int64 subtraction would wrap negative)
+                prev_alloc = int(self._slot_alloc_write[tpos])
+                if prev_alloc != np.iinfo(np.int64).min and self._write_count - prev_alloc < self.capacity:
                     import warnings
 
                     warnings.warn(
