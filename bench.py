@@ -14,16 +14,61 @@ deepcopy (ppo_mae.py:258-260) and a per-minibatch host->device transfer of
 the packed float32 batch. `vs_baseline` = fused-TPU-native / reference-style.
 
 Prints ONE JSON line.
+
+Relay resilience (VERDICT r3 weak #1): the tunneled TPU backend
+intermittently fails to initialize (``Unable to initialize backend 'axon':
+UNAVAILABLE``) or hangs pre-compile for >9 minutes. A failed backend init
+poisons the JAX process, so the bench proper runs in a SUBPROCESS
+(``--worker``); the parent retries up to 3 attempts with a per-attempt
+timeout and 60 s backoff, re-emitting the worker's single JSON line. One
+transient relay failure no longer voids the round's perf record.
 """
 from __future__ import annotations
 
 import copy
 import json
+import os
+import subprocess
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+ATTEMPTS = 3
+ATTEMPT_TIMEOUT_S = 480  # healthy runs finish in ~5-6 min end-to-end
+BACKOFF_S = 60
+
+
+def supervise(argv: list[str]) -> int:
+    """Run the bench worker in a subprocess, retrying transient relay
+    failures; print the worker's JSON line on stdout and return its rc."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker"] + [a for a in argv if a != "--worker"]
+    last_err = "no attempts ran"
+    for attempt in range(1, ATTEMPTS + 1):
+        print(f"# [{time.strftime('%H:%M:%S')}] bench attempt {attempt}/{ATTEMPTS}", file=sys.stderr)
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=ATTEMPT_TIMEOUT_S
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt} timed out after {ATTEMPT_TIMEOUT_S}s (relay hang)"
+            print(f"# {last_err}", file=sys.stderr)
+        else:
+            sys.stderr.write(proc.stderr)
+            json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if proc.returncode == 0 and json_lines:
+                print(json_lines[-1])
+                return 0
+            last_err = f"attempt {attempt} rc={proc.returncode}; stderr tail: " + "\n".join(
+                proc.stderr.splitlines()[-15:]
+            )
+            print(f"# attempt {attempt} failed (rc={proc.returncode})", file=sys.stderr)
+        if attempt < ATTEMPTS:
+            print(f"# [{time.strftime('%H:%M:%S')}] backing off {BACKOFF_S}s before retry", file=sys.stderr)
+            time.sleep(BACKOFF_S)
+    print(f"# bench failed after {ATTEMPTS} attempts: {last_err}", file=sys.stderr)
+    return 1
 
 
 def main(full: bool = False):
@@ -264,4 +309,7 @@ def main(full: bool = False):
 
 
 if __name__ == "__main__":
-    main(full="--full" in sys.argv)
+    if "--worker" in sys.argv:
+        main(full="--full" in sys.argv)
+    else:
+        sys.exit(supervise(sys.argv[1:]))

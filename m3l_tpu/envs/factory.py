@@ -149,7 +149,18 @@ def make_env(
                 env = ResizeDict(env, 64, pixel_key="image")
                 if state_type == "vision_and_touch":
                     env = AddTactile(env)
-            except (ImportError, gym.error.Error) as exc:
+            except Exception as exc:  # noqa: BLE001 — see below
+                # The try block constructs AND renders the sim (the
+                # _PixelsOnly ctor calls reset()/render(), and the XML shim
+                # touches disk), so asset-free/EGL-less hosts can raise
+                # mujoco.FatalError / OSError / RuntimeError, not just
+                # ImportError. With allow_fake=True anything routes to the
+                # fake fallback (that's what the flag is for); with
+                # allow_fake=False only missing-package/registration errors
+                # get _fake_fallback's loud message — unexpected failures
+                # re-raise unmodified (ADVICE r3).
+                if not allow_fake and not isinstance(exc, (ImportError, gym.error.Error)):
+                    raise
                 env = _fake_fallback(
                     env_name, exc, allow_fake,
                     state_type=state_type, num_sensors=1, action_dim=20, seed=seed + rank,

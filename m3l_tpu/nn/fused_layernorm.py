@@ -52,10 +52,13 @@ def _bwd_kernel(x_ref, scale_ref, g_ref, dx_ref, dscale_ref, dbias_ref, *, eps: 
 
 
 def _rows_block(rows: int) -> int:
-    for r in (_BLOCK_ROWS, 256, 128, 64, 8, 1):
+    # callers guarantee rows % 8 == 0 (fused_layernorm falls back to the
+    # XLA path otherwise): an r=1 grid of `rows` kernel instances plus
+    # (rows, D) f32 partial dscale/dbias buffers is pathological (ADVICE r3)
+    for r in (_BLOCK_ROWS, 256, 128, 64, 8):
         if rows % r == 0:
             return r
-    return 1
+    raise ValueError(f"row count {rows} not divisible by 8; use the XLA path")
 
 
 def _fwd_call(x2, scale, bias, eps, interpret):
@@ -119,6 +122,14 @@ def fused_layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, *, ep
         interpret = jax.default_backend() != "tpu"
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
+    if x2.shape[0] % 8 != 0:  # odd row counts: let XLA handle it (ADVICE r3)
+        xf = x2.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + float(eps))
+        out = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return out.astype(x.dtype).reshape(shape)
     return _fused_ln(x2, scale, bias, float(eps), interpret).reshape(shape)
 
 

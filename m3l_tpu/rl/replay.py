@@ -251,16 +251,17 @@ class DeviceReplayBuffer:
 
     @property
     def obs(self):
-        # bf16 storage is cast to float16 for the numpy view: np.load reads a
+        # bf16 storage is cast to float32 for the numpy view: np.load reads a
         # saved ml_dtypes bfloat16 array back as opaque void16, so checkpoints
-        # must carry a self-describing dtype — float16 matches the host
-        # ReplayBuffer's storage format (ADVICE r2)
+        # must carry a self-describing dtype. float32 is LOSSLESS from bf16;
+        # the float16 view used previously saturates to inf above 65504,
+        # silently corrupting any unnormalized obs channel (ADVICE r3).
         def view(v):
             a = np.asarray(v)
             if a.dtype.names is None and a.dtype.kind not in "fiu":  # ml_dtypes bf16
-                a = a.astype(np.float16)
+                a = a.astype(np.float32)
             elif str(a.dtype) == "bfloat16":
-                a = a.astype(np.float16)
+                a = a.astype(np.float32)
             return a
 
         return {

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax
+import jax.flatten_util  # explicit: optax/flax importing it transitively is fragile
 import jax.numpy as jnp
 import optax
 

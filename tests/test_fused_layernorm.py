@@ -39,3 +39,16 @@ def test_fused_ln_grads_and_bf16():
     ob = fused_layernorm(xb, sc, bi, interpret=True)
     assert ob.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(ob, np.float32), np.asarray(ref_ln(x, sc, bi)), atol=0.05)
+
+
+def test_fused_ln_grads_odd_rows_fallback():
+    # rows % 8 != 0 routes through the XLA fallback (ADVICE r3: no r=1 grid);
+    # gradients must still match the reference LN
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(13, 64)), jnp.float32)
+    sc = jnp.asarray(rng.normal(size=64), jnp.float32)
+    bi = jnp.asarray(rng.normal(size=64), jnp.float32)
+    g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(fused_layernorm(*a, interpret=True))), argnums=(0, 1, 2))(x, sc, bi)
+    g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(ref_ln(*a))), argnums=(0, 1, 2))(x, sc, bi)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
