@@ -15,7 +15,7 @@ from flax import nnx
 
 from ..models.vit import VisionTransformer
 from ..ops.patches import patchify
-from .decoders import MaskDecoderViT
+from .decoders import MaskDecoderViT, MaskedQueryDecoderViT
 from .module import SSLModule, as_float_image
 
 
@@ -29,6 +29,7 @@ class MAEModule(SSLModule):
         decoder_num_heads: int = 16,
         mask_ratio: float = 0.75,
         norm_pix_loss: bool = True,
+        decode_masked_only: bool = False,
         base_lr: float = 1e-4,
         weight_decay: float = 0.04,
         warmup_epochs: int = 10,
@@ -38,13 +39,19 @@ class MAEModule(SSLModule):
         self.encoder = encoder
         self.mask_ratio = mask_ratio
         self.norm_pix_loss = norm_pix_loss
+        self.decode_masked_only = decode_masked_only
         self.base_lr = base_lr
         self.weight_decay = weight_decay
         self.warmup_epochs = warmup_epochs
         self.betas = (0.9, 0.95)
         self.patch_size = encoder.patch_size
         self.num_patches = encoder.num_patches
-        self.decoder = MaskDecoderViT(
+        # decode_masked_only: CrossMAE-style masked-query decoder — valid
+        # because the loss reads masked positions only (reference
+        # mae.py:129-144); ~1.5x fewer decoder FLOPs at mask 0.75. The
+        # default (False) is the reference's exact He-style architecture.
+        decoder_cls = MaskedQueryDecoderViT if decode_masked_only else MaskDecoderViT
+        self.decoder = decoder_cls(
             input_embed_dim=encoder.embed_dim,
             img_size=encoder.img_size,
             patch_size=encoder.patch_size,
@@ -77,7 +84,12 @@ class MAEModule(SSLModule):
         # registers (if any) are dropped before decoding: decoder restores
         # only patch positions
         latent = latent[:, self.encoder.num_register_tokens :]
-        pred = self.decoder(latent, ids_restore)
+        if self.decode_masked_only:
+            len_keep = ids_keep.shape[1]
+            ids_masked = jnp.argsort(ids_restore, axis=1)[:, len_keep:]
+            pred = self.decoder(latent, ids_keep, ids_masked)
+        else:
+            pred = self.decoder(latent, ids_restore)
         return pred, mask
 
     def compute_loss(self, imgs: jnp.ndarray, pred: jnp.ndarray, mask: jnp.ndarray):

@@ -52,6 +52,10 @@ class SSLModule(nnx.Module):
             weight_decay=getattr(self, "weight_decay", 0.04),
             final_weight_decay=getattr(self, "final_weight_decay", None),
             betas=getattr(self, "betas", (0.9, 0.999)),
+            # set by the Trainer on single-chip runs (flat-buffer AdamW; a
+            # raveled vector cannot carry mp/tp shardings, so mesh runs keep
+            # leaf-wise optax)
+            flat=getattr(self, "_flat_optimizer", False),
         )
 
 
@@ -81,15 +85,24 @@ def default_wd_split_optimizer(
     final_weight_decay: Optional[float] = None,
     betas=(0.9, 0.999),
     clip_norm: Optional[float] = None,
+    flat: bool = False,
 ) -> optax.GradientTransformation:
     lr = warmup_cosine_schedule(base_lr, start_lr, final_lr, warmup_epochs * steps_per_epoch, total_steps)
     if final_weight_decay is not None:
         wd = cosine_wd_schedule(weight_decay, final_weight_decay, total_steps)
     else:
         wd = weight_decay
-    adamw = optax.inject_hyperparams(optax.adamw, static_args=("mask", "b1", "b2"))(
-        learning_rate=lr, weight_decay=wd, b1=betas[0], b2=betas[1], mask=wd_mask
-    )
+    if flat:
+        # flat-buffer AdamW (train/optim.py): one fused elementwise update
+        # over a single raveled vector instead of ~100 tile-padded leaf ops;
+        # same WD split and schedule semantics (tests/test_optim.py)
+        from ..train.optim import flat_adamw
+
+        adamw = flat_adamw(lr, wd, b1=betas[0], b2=betas[1])
+    else:
+        adamw = optax.inject_hyperparams(optax.adamw, static_args=("mask", "b1", "b2"))(
+            learning_rate=lr, weight_decay=wd, b1=betas[0], b2=betas[1], mask=wd_mask
+        )
     if clip_norm is not None:
         return optax.chain(optax.clip_by_global_norm(clip_norm), adamw)
     return adamw

@@ -71,3 +71,55 @@ def flat_adam(
         return unravel(step), FlatAdamState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init, update)
+
+
+class FlatAdamWState(NamedTuple):
+    count: jnp.ndarray  # int32 step counter
+    mu: jnp.ndarray  # first moment, flat
+    nu: jnp.ndarray  # second moment, flat
+    wd_mask: jnp.ndarray  # flat 0/1 decay mask (decay only >=2-D params)
+
+
+def flat_adamw(
+    learning_rate,
+    weight_decay,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """One-buffer AdamW with the reference's WD split (decay only >=2-D
+    params, mae.py:167-176), drop-in for ``optax.adamw(..., mask=wd_mask)``.
+    ``learning_rate`` and ``weight_decay`` may be scalars or schedules
+    (evaluated at the PRE-increment count, matching optax). Requires params
+    at update time (AdamW). Single-chip / dp-replicated use only — see the
+    module docstring."""
+
+    def init(params):
+        flat, _ = jax.flatten_util.ravel_pytree(params)
+        mask, _ = jax.flatten_util.ravel_pytree(
+            jax.tree.map(lambda p: jnp.full(p.shape, float(jnp.ndim(p) >= 2), p.dtype), params)
+        )
+        return FlatAdamWState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jnp.zeros_like(flat),
+            nu=jnp.zeros_like(flat),
+            wd_mask=mask,
+        )
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("flat_adamw requires params (AdamW weight decay)")
+        g, unravel = jax.flatten_util.ravel_pytree(grads)
+        p, _ = jax.flatten_util.ravel_pytree(params)
+        count = state.count + 1
+        mu = b1 * state.mu + (1.0 - b1) * g
+        nu = b2 * state.nu + (1.0 - b2) * jnp.square(g)
+        t = count.astype(jnp.float32)
+        mu_hat = mu / (1.0 - b1**t)
+        nu_hat = nu / (1.0 - b2**t)
+        lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
+        wd = weight_decay(state.count) if callable(weight_decay) else weight_decay
+        step = -lr * (mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * state.wd_mask * p)
+        return unravel(step), FlatAdamWState(count=count, mu=mu, nu=nu, wd_mask=state.wd_mask)
+
+    return optax.GradientTransformation(init, update)

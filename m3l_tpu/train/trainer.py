@@ -144,6 +144,13 @@ class Trainer:
             from .mesh import shard_module_params
 
             shard_module_params(module, self.mesh)
+        else:
+            # single-chip: flag the default optimizer builder to use the
+            # flat-buffer AdamW (one fused update vs ~100 tile-padded leaf
+            # ops; BASELINE.md round-3 lever, applied to SSL in round 4).
+            # Mesh runs keep leaf-wise optax — a raveled vector cannot
+            # carry mp shardings.
+            module._flat_optimizer = True
         tx = module.configure_optimizer(steps_per_epoch, self.max_epochs)
         if self.clip_gradients is not None:
             tx = optax.chain(optax.clip_by_global_norm(self.clip_gradients), tx)

@@ -262,3 +262,36 @@ def test_deterministic_validation_and_image_logging(tmp_path):
     l1 = float(vloss(mod, val[0], k))
     l2 = float(vloss(mod, val[0], k))
     assert l1 == l2
+
+
+def test_mae_masked_query_decoder_contract():
+    # CrossMAE-style masked-only decode: pred is zero at visible positions,
+    # nonzero at masked ones, and the masked loss interface is unchanged
+    enc = tiny_vit(registers=0)
+    mae = MAEModule(
+        enc, decoder_embed_dim=32, decoder_depth=2, decoder_num_heads=2,
+        mask_ratio=0.75, decode_masked_only=True, rngs=nnx.Rngs(1),
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((3, 32, 32, 3), dtype=np.float32))
+    pred, mask = mae(x, jax.random.PRNGKey(0))
+    assert pred.shape == (3, 16, 8 * 8 * 3)
+    assert mask.shape == (3, 16)
+    vis = np.asarray(mask) == 0
+    assert np.all(np.asarray(pred)[vis] == 0)
+    assert np.all(np.abs(np.asarray(pred)[~vis]).sum(-1) > 0)
+    loss = mae.compute_loss(x, pred, mask)
+    assert np.isfinite(float(loss))
+
+
+def test_mae_masked_query_decoder_trains(tmp_path):
+    enc = tiny_vit(registers=0)
+    mae = MAEModule(
+        enc, decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+        mask_ratio=0.75, decode_masked_only=True, rngs=nnx.Rngs(1),
+    )
+    rng = np.random.default_rng(0)
+    batches = [{"image": rng.random((4, 32, 32, 3), dtype=np.float32)} for _ in range(3)]
+    trainer = Trainer(max_epochs=2, ckpt_dir=str(tmp_path / "ck"), save_ckpt_every_n_epochs=1, verbose=0)
+    hist = trainer.fit(mae, batches)
+    assert np.isfinite(hist[-1]["train_loss"])
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"] * 1.5
