@@ -67,11 +67,21 @@ def synth_digit_trajectories(
     *,
     size: int = 96,
     slip_threshold: float = 0.012,
+    textures: int | None = None,
     seed: int = 0,
 ):
     """Returns dict of aligned arrays over n_traj*traj_len frames:
     frames (N,H,W,3) uint8, force (N,3) f32 in [-1,1]^2 x [0,1],
-    slip (N,) int64, traj_id (N,), in_contact (N,) f32."""
+    slip (N,) int64, traj_id (N,), in_contact (N,) f32.
+
+    ``textures=K`` additionally assigns each trajectory a texture class
+    k in [0, K) and weaves a class-keyed oriented micro-grating into the gel
+    background (the T6-textile analogue for this synthetic rig, reference
+    downstream_task/textile_sl.py classification). The class signature is the
+    grating ORIENTATION (+ mild frequency offset) — a global, translation-
+    invariant second-order statistic with per-trajectory random phase, sign,
+    and jitter, so it is not readable from mean intensity. Returns an extra
+    ``textile`` (N,) int64 array."""
     rng = np.random.default_rng(seed)
     N = n_traj * traj_len
     frames = np.zeros((N, size, size, 3), np.uint8)
@@ -79,6 +89,7 @@ def synth_digit_trajectories(
     slips = np.zeros(N, np.int64)
     contact = np.zeros(N, np.float32)
     traj_id = np.repeat(np.arange(n_traj), traj_len)
+    textile = np.zeros(N, np.int64)
 
     for ti in range(n_traj):
         # per-trajectory background: channel gradients + low-freq speckle
@@ -88,6 +99,14 @@ def synth_digit_trajectories(
         )
         bg += _smooth_noise(rng, size, size, cells=8, amp=0.05)[..., None]
         bg += rng.normal(size=(size, size, 3)).astype(np.float32) * 0.005
+        if textures:
+            k = int(rng.integers(textures))
+            textile[ti * traj_len : (ti + 1) * traj_len] = k
+            theta = k * np.pi / textures + rng.normal() * 0.04  # class = orientation
+            freq = 7.0 + 2.0 * (k % 3) + rng.normal() * 0.3  # + mild frequency key
+            phase = rng.uniform(0, 2 * np.pi)
+            grating = np.sin(2 * np.pi * freq * (np.cos(theta) * xx + np.sin(theta) * yy) + phase)
+            bg += (0.06 * rng.choice([-1.0, 1.0])) * grating[..., None]
 
         pos = rng.uniform(0.3, 0.7, size=2).astype(np.float32)
         vel = np.zeros(2, np.float32)
@@ -133,7 +152,10 @@ def synth_digit_trajectories(
                     pos = rng.uniform(0.3, 0.7, size=2).astype(np.float32)
             frames[i] = (render_frame(bg, pos, f if phase != "off" else np.zeros(3), size) * 255).astype(np.uint8)
             forces[i] = f if phase != "off" else 0.0
-    return {"frames": frames, "force": forces, "slip": slips, "traj_id": traj_id, "in_contact": contact}
+    out = {"frames": frames, "force": forces, "slip": slips, "traj_id": traj_id, "in_contact": contact}
+    if textures:
+        out["textile"] = textile
+    return out
 
 
 def windowed_probe_samples(data: dict, num_frames: int = 2, stride: int = 1):
@@ -148,9 +170,12 @@ def windowed_probe_samples(data: dict, num_frames: int = 2, stride: int = 1):
     ok = tid[idx] == tid[idx - span]
     idx = idx[ok]
     windows = np.concatenate([frames[idx - span + j * stride] for j in range(num_frames)], axis=-1)
-    return {
+    out = {
         "image": windows,
         "force": data["force"][idx],
         "slip": data["slip"][idx],
         "in_contact": data["in_contact"][idx],
     }
+    if "textile" in data:
+        out["textile"] = data["textile"][idx]
+    return out

@@ -1,0 +1,29 @@
+#!/bin/bash
+# TouchPress pixel ablation — the reference's flagship claim through the FULL
+# MAE+PPO pixel pipeline (reference README.md:3 / train.py:60 ablation):
+#   arm 1: --state_type vision_and_touch  (touch readable -> can regulate force)
+#   arm 2: --state_type vision            (hidden gains -> plateaus near the
+#                                          vision ceiling, see touchpress_laws.py)
+# Round-2 FakeInsertion recipe (dim 128, fs 2, rollout 8192, batch 512 x 10,
+# lr 3e-4) but --subproc True: EGL rendering cannot share a process with the
+# TPU client. Arms run serially (1 host core + 1 chip).
+#
+# Usage: bash scripts/touchpress_pixel_ablation.sh [total_timesteps]
+set -u
+cd "$(dirname "$0")/.."
+STEPS=${1:-400000}
+
+for ARM in vision_and_touch vision; do
+  echo "=== [$(date +%H:%M:%S)] TouchPress arm: $ARM ($STEPS steps) ==="
+  python -u -m m3l_tpu.cli.train \
+    --env MuJoCoPixels/TouchPress-v0 --state_type "$ARM" \
+    --n_envs 32 --subproc True \
+    --total_timesteps "$STEPS" --rollout_length 8192 \
+    --dim_embedding 128 --frame_stack 2 --lr_ppo 3e-4 \
+    --batch_size 512 --ppo_epochs 10 \
+    --save_freq 100000000 --eval_every 100000000 \
+    --tensorboard_dir "runs/touchpress/$ARM" \
+    --allow_fake False --verbose 1 \
+    > "runs/touchpress/${ARM}.log" 2>&1
+  echo "=== [$(date +%H:%M:%S)] arm $ARM exited rc=$? ==="
+done

@@ -125,6 +125,17 @@ def train_probe(task: str, regime: str, ckpt: str | None, encoder_type: str, spl
         probe = ForceLinearProbe(192, num_heads=3, dtype=dtype, rngs=rngs)
         module = ForceSLModule(encoder, probe, **kwargs)
         keys = {"image", "force"}
+    elif task == "texture":
+        # T6-textile analogue: per-trajectory texture class — a GLOBAL,
+        # invariance-friendly label where the DINO objective should shine
+        # (reference downstream_task/textile_sl.py:73-209; VERDICT r3 #4)
+        from m3l_tpu.tasks.modules import TextileSLModule
+        from m3l_tpu.tasks.probes import TextileLinearProbe
+
+        n_classes = int(train["textile"].max()) + 1
+        probe = TextileLinearProbe(192, num_classes=n_classes, num_heads=3, dtype=dtype, rngs=rngs)
+        module = TextileSLModule(encoder, probe, **kwargs)
+        keys = {"image", "textile"}
     else:
         n1 = float(train["slip"].mean())
         probe = SlipProbe(192, num_classes=2, num_heads=3, dtype=dtype, rngs=rngs)
@@ -138,13 +149,14 @@ def train_probe(task: str, regime: str, ckpt: str | None, encoder_type: str, spl
 
 
 def evaluate_probe(task, module, test, out_dir, tag, batch_size):
-    from m3l_tpu.eval.tacbench import TestForceSL, TestSlipSL
+    from m3l_tpu.eval.tacbench import TestForceSL, TestSlipSL, TestTextileSL
 
-    keys = {"image", "force"} if task == "force" else {"image", "slip"}
+    keys = {"force": {"image", "force"}, "slip": {"image", "slip"}, "texture": {"image", "textile"}}[task]
     te = {k: v for k, v in test.items() if k in keys}
     loader = get_loader(te, batch_size, shuffle=False)
     cache = os.path.join(out_dir, "eval", tag)
-    tester = (TestForceSL if task == "force" else TestSlipSL)(module, cache_dir=cache)
+    tester_cls = {"force": TestForceSL, "slip": TestSlipSL, "texture": TestTextileSL}[task]
+    tester = tester_cls(module, cache_dir=cache)
     results = tester.run_model(loader)
     metrics = tester.get_overall_metrics(results)
     try:
@@ -169,6 +181,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="runs/transfer")
     p.add_argument("--algos", default="mae")
+    p.add_argument("--tasks", default="force,slip", help="comma list of force,slip,texture")
+    p.add_argument("--textures", type=int, default=0, help="texture classes woven into the synthetic gel (0 = off; required for the texture task)")
+    p.add_argument("--regimes", default="pretrained,random,e2e")
     p.add_argument("--epochs_ssl", type=int, default=30)
     p.add_argument("--epochs_probe", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=256)
@@ -188,9 +203,12 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     print("[transfer] generating data...")
-    ssl_raw = synth_digit_trajectories(args.n_traj_ssl, args.traj_len, seed=1)
-    probe_raw = synth_digit_trajectories(args.n_traj_probe, args.traj_len, seed=2)
-    test_raw = synth_digit_trajectories(args.n_traj_test, args.traj_len, seed=3)
+    tex = args.textures or None
+    if "texture" in args.tasks and not tex:
+        raise SystemExit("--tasks texture requires --textures K (e.g. 6)")
+    ssl_raw = synth_digit_trajectories(args.n_traj_ssl, args.traj_len, seed=1, textures=tex)
+    probe_raw = synth_digit_trajectories(args.n_traj_probe, args.traj_len, seed=2, textures=tex)
+    test_raw = synth_digit_trajectories(args.n_traj_test, args.traj_len, seed=3, textures=tex)
     ssl_w = windowed_probe_samples(ssl_raw, 2)
     train_w = windowed_probe_samples(probe_raw, 2)
     test_w = windowed_probe_samples(test_raw, 2)
@@ -200,8 +218,8 @@ def main():
     for algo in args.algos.split(","):
         ckpt = pretrain(algo, {"image": ssl_w["image"]}, args.out, args.epochs_ssl, args.batch_size, dtype, args.verbose)
         enc_type = "dino" if algo == "dino" else "mae"
-        for task in ("force", "slip"):
-            for regime in ("pretrained", "random", "e2e"):
+        for task in args.tasks.split(","):
+            for regime in args.regimes.split(","):
                 if regime != "pretrained" and f"{task}/{regime}" in all_metrics:
                     continue  # random/e2e are algo-independent
                 tag = f"{task}/{regime}" if regime != "pretrained" else f"{task}/{algo}-frozen"
@@ -223,6 +241,8 @@ def main():
             pearson = np.mean([m.get(f"pearson_{a}", float("nan")) for a in "xyz"])
             ci = m.get("rmse_z_ci95", (float("nan"), float("nan")))
             key = f"RMSE {m.get('rmse', float('nan')):.4f} (z CI95 {ci[0]:.4f}-{ci[1]:.4f}), mean Pearson {pearson:.3f}"
+        elif task == "texture":
+            key = f"acc {m.get('accuracy', float('nan')):.3f}, balanced {m.get('balanced_accuracy', float('nan')):.3f}"
         else:
             f1 = m.get("f1", [float("nan")] * 2)
             key = f"acc {m.get('accuracy', float('nan')):.3f}, balanced {m.get('balanced_accuracy', float('nan')):.3f}, slip-f1 {f1[-1]:.3f}"

@@ -56,3 +56,41 @@ def test_slip_visible_in_two_frame_window():
     slip_diff = diff[(w["slip"] == 1) & contact]
     stick_diff = diff[(w["slip"] == 0) & contact]
     assert slip_diff.mean() > 1.5 * stick_diff.mean(), (slip_diff.mean(), stick_diff.mean())
+
+
+def test_texture_classes_decodable_from_orientation_energy():
+    """textures=K weaves a class-keyed oriented grating into the background;
+    the class must be recoverable from a global second-order statistic
+    (FFT orientation-energy histogram, nearest centroid) but NOT from mean
+    intensity — the invariance-friendly T6-textile analogue."""
+    K = 4
+    d = synth_digit_trajectories(48, 10, seed=5, textures=K)
+    imgs = d["frames"].astype(np.float32).mean(-1)  # (N, H, W) gray
+    labels = d["textile"]
+    # orientation-energy features: FFT magnitude binned by angle
+    N, H, W = imgs.shape
+    f = np.abs(np.fft.fftshift(np.fft.fft2(imgs - imgs.mean((1, 2), keepdims=True)), axes=(1, 2)))
+    yy, xx = np.mgrid[0:H, 0:W]
+    ang = np.arctan2(yy - H // 2, xx - W // 2) % np.pi
+    rad = np.hypot(yy - H // 2, xx - W // 2)
+    sel = (rad > 4) & (rad < H // 2)
+    nbins = 16
+    bins = np.minimum((ang / np.pi * nbins).astype(int), nbins - 1)
+    feats = np.zeros((N, nbins), np.float32)
+    for b in range(nbins):
+        m = sel & (bins == b)
+        feats[:, b] = f[:, m].mean(1)
+    feats /= feats.sum(1, keepdims=True)
+    n_train = N // 2
+    cents = np.stack([feats[:n_train][labels[:n_train] == k].mean(0) for k in range(K)])
+    pred = np.argmin(((feats[n_train:, None] - cents[None]) ** 2).sum(-1), axis=1)
+    acc = (pred == labels[n_train:]).mean()
+    assert acc > 0.8, acc
+    # mean intensity must NOT separate the classes (guards against a
+    # brightness shortcut any probe would exploit)
+    mean_int = imgs.mean((1, 2))
+    cents_i = np.array([mean_int[:n_train][labels[:n_train] == k].mean() for k in range(K)])
+    pred_i = np.argmin(np.abs(mean_int[n_train:, None] - cents_i[None]), axis=1)
+    assert (pred_i == labels[n_train:]).mean() < 0.55
+    # without textures the key is absent
+    assert "textile" not in synth_digit_trajectories(2, 2, seed=0)
