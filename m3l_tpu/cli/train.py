@@ -9,6 +9,7 @@ Example (tiny smoke run, no MuJoCo assets needed):
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +27,17 @@ def str2bool(v: str) -> bool:
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser("M3L-TPU")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--resume_from",
+        type=str,
+        default=None,
+        help=(
+            "checkpoint to restore before learn() (params, optimizer states, "
+            "reward normalizer, num_timesteps), or 'auto' to pick the newest "
+            "model_*_steps.ckpt under <tensorboard_dir>/checkpoints — lets a "
+            "long run survive a relay/tunnel death and continue"
+        ),
+    )
     parser.add_argument("--save_freq", type=int, default=int(1e5))
     parser.add_argument("--eval_every", type=int, default=int(2e5))
     parser.add_argument("--total_timesteps", type=int, default=int(3e6))
@@ -168,6 +180,26 @@ def main(argv=None):
     ]
     env = make_vec_env(env_fns, subproc=config.subproc)
     model = build_model(config, env)
+    if config.resume_from:
+        if config.resume_from == "auto":
+            import glob
+
+            cands = glob.glob(os.path.join(config.tensorboard_dir or ".", "checkpoints", "model_*_steps.ckpt"))
+            cands.sort(key=lambda p: int(p.rsplit("model_", 1)[1].split("_")[0]))
+        else:
+            cands = [config.resume_from]
+        restored = False
+        for path in reversed(cands):  # newest first; fall back past a ckpt a dying save corrupted
+            try:
+                model.load(path)
+            except Exception as exc:  # noqa: BLE001 — resume is best-effort by design
+                print(f"[resume] failed to restore {path}: {exc!r}")
+                continue
+            print(f"[resume] restored {path}; continuing from num_timesteps={model.num_timesteps}")
+            restored = True
+            break
+        if not restored:
+            print("[resume] no usable checkpoint; starting fresh")
     try:
         callback = None
         if config.tensorboard_dir:

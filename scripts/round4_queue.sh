@@ -6,6 +6,9 @@
 # (heavy host work starves the relay client - CLAUDE.md).
 set -u
 cd "$(dirname "$0")/.."
+# scripts/*.py put scripts/ (not the repo root) on sys.path; keep the axon
+# site too or the TPU backend fails to register (CLAUDE.md)
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 mkdir -p runs/r4
 
 while pgrep -x pytest >/dev/null 2>&1 || ps -eo args | grep -E '^[/a-z]*python[0-9.]* -m pytest' >/dev/null 2>&1; do

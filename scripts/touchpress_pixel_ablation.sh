@@ -8,22 +8,32 @@
 # lr 3e-4) but --subproc True: EGL rendering cannot share a process with the
 # TPU client. Arms run serially (1 host core + 1 chip).
 #
+# Tunnel-crash resilience: checkpoints every ~50k steps and, on a nonzero
+# exit, waits for the TPU to come back (run_when_tpu_healthy probe) and
+# relaunches with --resume_from auto; a completed arm exits the retry loop
+# with rc=0 (learn() returns immediately once num_timesteps >= total).
+#
 # Usage: bash scripts/touchpress_pixel_ablation.sh [total_timesteps]
 set -u
 cd "$(dirname "$0")/.."
 STEPS=${1:-400000}
 
 for ARM in vision_and_touch vision; do
-  echo "=== [$(date +%H:%M:%S)] TouchPress arm: $ARM ($STEPS steps) ==="
-  python -u -m m3l_tpu.cli.train \
-    --env MuJoCoPixels/TouchPress-v0 --state_type "$ARM" \
-    --n_envs 32 --subproc True \
-    --total_timesteps "$STEPS" --rollout_length 8192 \
-    --dim_embedding 128 --frame_stack 2 --lr_ppo 3e-4 \
-    --batch_size 512 --ppo_epochs 10 \
-    --save_freq 100000000 --eval_every 100000000 \
-    --tensorboard_dir "runs/touchpress/$ARM" \
-    --allow_fake False --verbose 1 \
-    > "runs/touchpress/${ARM}.log" 2>&1
-  echo "=== [$(date +%H:%M:%S)] arm $ARM exited rc=$? ==="
+  for ATTEMPT in 1 2 3 4 5 6 7 8; do
+    echo "=== [$(date +%H:%M:%S)] TouchPress arm: $ARM ($STEPS steps, attempt $ATTEMPT) ==="
+    python -u -m m3l_tpu.cli.train \
+      --env MuJoCoPixels/TouchPress-v0 --state_type "$ARM" \
+      --n_envs 32 --subproc True \
+      --total_timesteps "$STEPS" --rollout_length 8192 \
+      --dim_embedding 128 --frame_stack 2 --lr_ppo 3e-4 \
+      --batch_size 512 --ppo_epochs 10 \
+      --save_freq 49152 --resume_from auto --eval_every 100000000 \
+      --tensorboard_dir "runs/touchpress/$ARM" \
+      --allow_fake False --verbose 1 \
+      >> "runs/touchpress/${ARM}.log" 2>&1
+    RC=$?
+    echo "=== [$(date +%H:%M:%S)] arm $ARM attempt $ATTEMPT exited rc=$RC ==="
+    [ "$RC" -eq 0 ] && break
+    bash scripts/run_when_tpu_healthy.sh /bin/true
+  done
 done

@@ -97,3 +97,29 @@ def test_restore_like_is_order_insensitive(tmp_path):
         restore_like(template, {"b": np.zeros((2,))})
     with pytest.raises(ValueError):
         restore_like(template, dict(pure, b=np.zeros((7,))))
+
+
+def test_ppo_cli_auto_resume(tmp_path, capsys):
+    """--resume_from auto restores the newest usable checkpoint and continues
+    (tunnel-crash recovery for long runs); a corrupted newest checkpoint is
+    skipped in favor of the previous one."""
+    from m3l_tpu.cli.train import main
+
+    tb = str(tmp_path / "tb")
+    base = _argv(dict(env="FakeInsertion", n_envs=2, rollout_length=32, batch_size=16,
+                      ppo_epochs=1, dim_embedding=32, frame_stack=1, mae_batch_size=8,
+                      compute_dtype="float32", subproc=False, verbose=0,
+                      save_freq=32, eval_every=100000000, tensorboard_dir=tb))
+    main(base + ["--total_timesteps", "64"])
+    ckpts = sorted((tmp_path / "tb" / "checkpoints").glob("model_*_steps.ckpt"))
+    assert [p.name for p in ckpts] == ["model_32_steps.ckpt", "model_64_steps.ckpt"]
+
+    # corrupt the newest so resume must fall back to model_32
+    for f in (tmp_path / "tb" / "checkpoints" / "model_64_steps.ckpt").rglob("*"):
+        if f.is_file():
+            f.unlink()
+    main(base + ["--total_timesteps", "96", "--resume_from", "auto"])
+    out = capsys.readouterr().out
+    assert "failed to restore" in out and "model_64_steps.ckpt" in out
+    assert "restored" in out and "model_32_steps.ckpt" in out
+    assert "num_timesteps=32" in out
