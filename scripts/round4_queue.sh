@@ -16,6 +16,16 @@ while pgrep -x pytest >/dev/null 2>&1 || ps -eo args | grep -E '^[/a-z]*python[0
   sleep 60
 done
 
+# Stop any CPU-fallback ablation arm (touchpress_cpu_arm.sh): it shares the
+# checkpoint dir, so the TPU ablation below resumes exactly where it died.
+if [ -f /tmp/cpu_arm.pid ] && kill -0 "$(cat /tmp/cpu_arm.pid)" 2>/dev/null; then
+  echo "[$(date +%H:%M:%S)] stopping CPU-fallback arm pid $(cat /tmp/cpu_arm.pid)"
+  kill "$(cat /tmp/cpu_arm.pid)"
+  for _ in $(seq 1 30); do kill -0 "$(cat /tmp/cpu_arm.pid)" 2>/dev/null || break; sleep 2; done
+  kill -9 "$(cat /tmp/cpu_arm.pid)" 2>/dev/null
+  rm -f /tmp/cpu_arm.pid
+fi
+
 run() {
   local name=$1; shift
   echo "=== [$(date +%H:%M:%S)] queue: $name ==="
