@@ -36,7 +36,12 @@ from functools import partial
 import numpy as np
 
 ATTEMPTS = 3
-ATTEMPT_TIMEOUT_S = 480  # healthy runs finish in ~5-6 min end-to-end
+# Healthy runs finish in ~5-6 min end-to-end, but on a degraded-but-working
+# relay (first trivial compile 40-140 s instead of ~20 s) a good run can need
+# well over 8 min; 480 s killed an otherwise-succeeding attempt (round 4).
+# The timeout exists to break out of true pre-compile hangs, not to police
+# slow-but-progressing runs, so it is generous.
+ATTEMPT_TIMEOUT_S = 1500
 BACKOFF_S = 60
 
 

@@ -206,6 +206,30 @@ import os
 _BLOCK_B_FWD = int(os.environ.get("M3L_FLASH_GB_FWD", "8"))
 _BLOCK_B_BWD = int(os.environ.get("M3L_FLASH_GB_BWD", "4"))
 
+# The kernel's live f32 (H*G, N, N) score-sized temporaries dominate the
+# scoped-VMEM stack (measured: the SSL MAE decoder at heads=16, N=196, G=8
+# needs 39.3 MB vs mosaic's 16 MB default — s + softmax temps ≈ 1.5× the
+# score buffer fwd, ≈ 3× bwd with da/ds live). We raise the per-kernel limit
+# (v5e has 128 MB VMEM) and shrink G until the estimate fits the budget, so
+# head-heavy shapes compile while MXU-bound RL shapes keep their measured-
+# fastest blocks.
+_VMEM_LIMIT = 96 * 1024 * 1024
+_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _rup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fit_block(b: int, n: int, heads: int, limit: int, score_copies: float) -> int:
+    g = _block(b, max(limit, 1))
+    while g > 1:
+        scores = heads * g * _rup(n, 8) * _rup(n, 128) * 4
+        if score_copies * scores <= _VMEM_BUDGET:
+            break
+        g = _block(b, g - 1)  # next smaller divisor of b
+    return g
+
 
 def _split_heads(blk: jnp.ndarray, heads: int, part: int):
     """(G, N, 3*H*Dh) -> (H*G, N, Dh) for part in {0:q, 1:k, 2:v}.
@@ -290,12 +314,13 @@ def _qkv_call(qkv, bias, scale, heads, interpret, *, fwd: bool, g_out=None):
     b, n, thd = qkv.shape
     hd = thd // 3
     limit = (_BLOCK_B_FWD if fwd else _BLOCK_B_BWD) if qkv.dtype == jnp.bfloat16 else (_BLOCK_B_FWD if fwd else _BLOCK_B_BWD) // 2
-    g = _block(b, max(limit, 1))
+    g = _fit_block(b, n, heads, limit, 2.0 if fwd else 3.0)
     qspec = pl.BlockSpec((g, n, thd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((g, n, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((g, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     if bias is not None:
         bias = bias[:, None, :]  # (B, 1, N): trailing block dims == array dims
+    params = None if interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     if fwd:
         if bias is not None:
             kern = functools.partial(_fwd_qkv_kernel, scale=scale, heads=heads)
@@ -306,6 +331,7 @@ def _qkv_call(qkv, bias, scale, heads, interpret, *, fwd: bool, g_out=None):
         return pl.pallas_call(
             kern, grid=(b // g,), in_specs=in_specs, out_specs=ospec,
             out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype), interpret=interpret,
+            compiler_params=params,
         )(*args)
     if bias is not None:
         kern = functools.partial(_bwd_qkv_kernel, scale=scale, heads=heads)
@@ -316,6 +342,7 @@ def _qkv_call(qkv, bias, scale, heads, interpret, *, fwd: bool, g_out=None):
     return pl.pallas_call(
         kern, grid=(b // g,), in_specs=in_specs, out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((b, n, thd), qkv.dtype), interpret=interpret,
+        compiler_params=params,
     )(*args)
 
 

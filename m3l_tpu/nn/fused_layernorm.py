@@ -47,8 +47,12 @@ def _bwd_kernel(x_ref, scale_ref, g_ref, dx_ref, dscale_ref, dbias_ref, *, eps: 
     m2 = jnp.mean(gs * xhat, axis=-1, keepdims=True)
     dx = (gs - m1 - xhat * m2) * rstd
     dx_ref[:] = dx.astype(dx_ref.dtype)
-    dscale_ref[0] = jnp.sum(g * xhat, axis=0)
-    dbias_ref[0] = jnp.sum(g, axis=0)
+    # Partial-reduction outputs are (8, D) blocks (mosaic requires the
+    # second-to-last block dim divisible by 8): the partial goes in row 0,
+    # rows 1-7 are zeros, and the caller sums over all rows.
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)
+    dscale_ref[:] = jnp.where(row == 0, jnp.sum(g * xhat, axis=0)[None, :], 0.0)
+    dbias_ref[:] = jnp.where(row == 0, jnp.sum(g, axis=0)[None, :], 0.0)
 
 
 def _rows_block(rows: int) -> int:
@@ -82,7 +86,7 @@ def _bwd_call(x2, scale, g2, eps, interpret):
     nblk = rows // r
     xspec = pl.BlockSpec((r, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
-    partial_spec = pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    partial_spec = pl.BlockSpec((8, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
     dx, dsc, dbi = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps),
         grid=(nblk,),
@@ -90,8 +94,8 @@ def _bwd_call(x2, scale, g2, eps, interpret):
         out_specs=[xspec, partial_spec, partial_spec],
         out_shape=[
             jax.ShapeDtypeStruct((rows, d), x2.dtype),
-            jax.ShapeDtypeStruct((nblk, d), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, d), jnp.float32),
+            jax.ShapeDtypeStruct((nblk * 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((nblk * 8, d), jnp.float32),
         ],
         interpret=interpret,
     )(x2, scale, g2)

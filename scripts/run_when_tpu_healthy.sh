@@ -6,7 +6,9 @@
 set -u
 cd "$(dirname "$0")/.."
 while true; do
-  if timeout 120 python -c "
+  # 240s: on a degraded-but-recovering relay the trivial first compile has
+  # been observed at 40-140s; 120s rejected a usable tunnel (round 4).
+  if timeout 240 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256)); print(float((x @ x).sum()))" >/dev/null 2>&1; then
     echo "[$(date +%H:%M:%S)] TPU healthy — launching: $*"
