@@ -116,3 +116,21 @@ def test_flash_qkv_matches_einsum_grads_and_mask():
         np.testing.assert_allclose(
             np.asarray(jax.grad(f_fl)(qkv)), np.asarray(jax.grad(f_ref)(qkv)), atol=5e-5
         )
+
+
+def test_fit_block_respects_vmem_budget():
+    """The block chooser keeps the measured-fastest RL blocks but shrinks for
+    head-heavy shapes whose f32 score buffers overflow scoped VMEM (the SSL
+    MAE decoder at heads=16, N=196 needed 39.3 MB vs the 16 MB default)."""
+    from m3l_tpu.nn.flash_attention import _fit_block, _rup, _VMEM_BUDGET
+
+    # RL flagship fwd shape: unchanged fast path
+    assert _fit_block(512, 192, 4, 8, 2.0) == 8
+    # SSL decoder fwd/bwd shrink to fit
+    for limit, copies in ((8, 2.0), (4, 3.0)):
+        g = _fit_block(64, 196, 16, limit, copies)
+        assert g >= 1
+        scores = 16 * g * _rup(196, 8) * _rup(196, 128) * 4
+        assert g == 1 or copies * scores <= _VMEM_BUDGET
+    # b with no nontrivial divisor under budget still returns a divisor
+    assert _fit_block(7, 4096, 16, 8, 3.0) == 1
