@@ -25,12 +25,9 @@ from flax import nnx
 
 
 def _ln(norm: nnx.LayerNorm, x: jnp.ndarray) -> jnp.ndarray:
-    """nnx.LayerNorm, optionally through the pallas fused kernel
-    (M3L_FUSED_LN=1; see nn/fused_layernorm.py)."""
-    from .fused_layernorm import fused_layernorm, use_fused_ln
-
-    if use_fused_ln():
-        return fused_layernorm(x, norm.scale[...], norm.bias[...], eps=norm.epsilon)
+    """nnx.LayerNorm. A pallas fused-LN kernel was benched against XLA's
+    fusion at the flagship shape (round 4: 1.474 vs 1.432 ms fwd+bwd for
+    (98304, 256)) and removed — XLA already fuses this well."""
     return norm(x)
 
 

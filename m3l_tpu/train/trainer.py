@@ -144,13 +144,13 @@ class Trainer:
             from .mesh import shard_module_params
 
             shard_module_params(module, self.mesh)
-        else:
-            # single-chip: flag the default optimizer builder to use the
-            # flat-buffer AdamW (one fused update vs ~100 tile-padded leaf
-            # ops; BASELINE.md round-3 lever, applied to SSL in round 4).
-            # Mesh runs keep leaf-wise optax — a raveled vector cannot
-            # carry mp shardings.
-            module._flat_optimizer = True
+        # SSL keeps leaf-wise optax AdamW everywhere: the flat-buffer AdamW
+        # that wins for PPO/SAC (rl/ppo_mae.py) measured SLOWER here on both
+        # model sizes (round 4, scripts/bench_ssl.py: ViT-small 38.3 vs
+        # 35.8 ms/step, ViT-base 54.8 vs 46.3) — at SSL's larger param count
+        # the ravel/unravel relayouts cost more than the ~100 tile-padded
+        # leaf ops they replace. A module can still opt in by setting
+        # `_flat_optimizer` before fit() (ssl/module.py:58).
         tx = module.configure_optimizer(steps_per_epoch, self.max_epochs)
         if self.clip_gradients is not None:
             tx = optax.chain(optax.clip_by_global_norm(self.clip_gradients), tx)
