@@ -92,6 +92,47 @@ def pretrain(algo: str, ssl_frames: dict, out_dir: str, epochs: int, batch_size:
             dtype=dtype,
             rngs=rngs,
         )
+    elif algo == "dinov2":
+        # DINOv2 = DINO CLS loss + iBOT patch loss + KoLeo (reference
+        # tactile_ssl/algorithm/dinov2.py). The iBOT masked-patch objective
+        # trains the PATCH tokens directly (unlike DINO-v1, whose patch
+        # tokens are a byproduct of the CLS path) — the hypothesis under
+        # test for the texture probe (VERDICT r3 #4: "DINO/DINOv2").
+        from m3l_tpu.ssl.dinov2 import DINOv2Module
+
+        module = DINOv2Module(
+            encoder,
+            dino_out_dim=4096,
+            dino_hidden_dim=1024,
+            dino_bottleneck_dim=128,
+            num_global_masks=2,
+            num_local_masks=4,
+            koleo_weight=0.1,
+            centering="centering",
+            base_lr=5e-4,
+            warmup_epochs=2,
+            teacher_warmup_epochs=2,
+            with_reconstruction_probe=False,
+            dtype=dtype,
+            rngs=rngs,
+        )
+    elif algo == "ijepa":
+        # I-JEPA latent-prediction (reference tactile_ssl/algorithm/ijepa.py):
+        # like iBOT, a dense patch-level objective — second arm of the
+        # CLS-objective-vs-patch-objective transfer comparison.
+        from m3l_tpu.ssl.ijepa import IJEPAModule
+        from m3l_tpu.train.builders import build_predictor
+
+        predictor = build_predictor(encoder, embed_dim=96, depth=4, num_heads=3, num_mask_tokens=4, seed=7)
+        module = IJEPAModule(
+            encoder,
+            predictor,
+            num_target_masks=4,
+            moving_average_decay=(0.996, 1.0),
+            base_lr=1e-3,
+            warmup_epochs=2,
+            rngs=rngs,
+        )
     else:
         raise ValueError(algo)
     loader = get_loader(ssl_frames, batch_size)
@@ -217,7 +258,7 @@ def main():
     all_metrics = {}
     for algo in args.algos.split(","):
         ckpt = pretrain(algo, {"image": ssl_w["image"]}, args.out, args.epochs_ssl, args.batch_size, dtype, args.verbose)
-        enc_type = "dino" if algo == "dino" else "mae"
+        enc_type = "dino" if "dino" in algo else ("jepa" if "jepa" in algo else "mae")
         for task in args.tasks.split(","):
             for regime in args.regimes.split(","):
                 if regime != "pretrained" and f"{task}/{regime}" in all_metrics:
@@ -230,7 +271,15 @@ def main():
                 all_metrics[tag] = m
                 print(f"[transfer] {tag}: " + json.dumps(m))
 
-    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+    # merge with any prior arms in the same out dir (new tags win) so
+    # incremental runs extend the table instead of clobbering it
+    mpath = os.path.join(args.out, "metrics.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prior = json.load(f)
+        prior.update(all_metrics)
+        all_metrics = prior
+    with open(mpath, "w") as f:
         json.dump(all_metrics, f, indent=2, default=float)
 
     # markdown table
