@@ -162,5 +162,10 @@ def koleo_loss(student_output: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     n = x.shape[0]
     dots = dots - 2.0 * jnp.eye(n)  # exclude self (fill diag with -1-ish)
     nn_idx = jnp.argmax(dots, axis=1)
-    dists = jnp.linalg.norm(x - x[nn_idx], axis=-1)
-    return -jnp.mean(jnp.log(dists + eps))
+    # eps INSIDE the norm (like torch F.pairwise_distance(eps=1e-8), which the
+    # reference's KoLeo uses): d/dx ||x-y|| is 0/0 = NaN at x == y, and two
+    # near-identical frames in a batch (common early in training, worse under
+    # bf16 rounding) would otherwise poison every gradient in the step.
+    d = x - x[nn_idx]
+    dists = jnp.sqrt(jnp.sum(d * d, axis=-1) + eps * eps)
+    return -jnp.mean(jnp.log(dists))

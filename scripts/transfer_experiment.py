@@ -24,12 +24,12 @@ import time
 import numpy as np
 
 
-def get_loader(split: dict, batch_size: int, shuffle=True, seed=0):
+def get_loader(split: dict, batch_size: int, shuffle=True, seed=0, drop_last=True):
     # images stay uint8 through the host->device link (4x less transfer over
     # the relay, ~88 MB/s); modules dequantize on device (ssl.module.as_float_image)
     from m3l_tpu.data.datasets import ArrayDataset, DataLoader
 
-    return DataLoader(ArrayDataset(split), batch_size=batch_size, shuffle=shuffle, seed=seed)
+    return DataLoader(ArrayDataset(split), batch_size=batch_size, shuffle=shuffle, seed=seed, drop_last=drop_last)
 
 
 def build_encoder(rngs, dtype):
@@ -194,7 +194,9 @@ def evaluate_probe(task, module, test, out_dir, tag, batch_size):
 
     keys = {"force": {"image", "force"}, "slip": {"image", "slip"}, "texture": {"image", "textile"}}[task]
     te = {k: v for k, v in test.items() if k in keys}
-    loader = get_loader(te, batch_size, shuffle=False)
+    # drop_last=False: eval must cover the WHOLE test set (the tail batch is
+    # one extra compile at the remainder shape — fine for a one-shot eval)
+    loader = get_loader(te, batch_size, shuffle=False, drop_last=False)
     cache = os.path.join(out_dir, "eval", tag)
     tester_cls = {"force": TestForceSL, "slip": TestSlipSL, "texture": TestTextileSL}[task]
     tester = tester_cls(module, cache_dir=cache)

@@ -138,6 +138,18 @@ def test_koleo_positive_for_clustered():
     assert float(koleo_loss(x)) > 0  # clustered -> high (positive) loss
 
 
+def test_koleo_grad_finite_with_duplicate_rows():
+    """Two identical samples in a batch (common early in training; bf16
+    rounding makes exact collisions likely) must not NaN the gradient: the
+    reference's KoLeo survives because torch F.pairwise_distance adds eps
+    INSIDE the norm (d/dx ||x-y|| is 0/0 at x == y). Regression for the
+    round-4 DINOv2 texture run that NaN'd at step 1."""
+    x = jnp.array([[1.0, 2.0, 3.0], [1.0, 2.0, 3.0], [0.5, -1.0, 2.0], [3.0, 0.1, 0.2]])
+    loss, g = jax.value_and_grad(koleo_loss)(x)
+    assert np.isfinite(float(loss))
+    assert bool(jnp.isfinite(g).all()), g
+
+
 def test_mae_module_trains(tmp_path):
     enc = tiny_vit(registers=0)
     mae = MAEModule(enc, decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2, mask_ratio=0.75, rngs=nnx.Rngs(1))
