@@ -216,9 +216,12 @@ class DINOHead(nnx.Module):
                 x = nnx.gelu(x, approximate=False)
         x = x.astype(jnp.float32)
         eps = 1e-6
-        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+        # sqrt(sum + eps^2) instead of max(norm, eps): the max() clamps the
+        # forward but the norm's VJP is still 0/0 = NaN at an exactly-zero
+        # vector (same hazard family as the KoLeo fix in ssl/losses.py)
+        x = x / jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps * eps)
         v = self.last_v[...]
-        w = self.last_g[...][:, None] * v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+        w = self.last_g[...][:, None] * v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-24)
         return x @ w.T
 
 

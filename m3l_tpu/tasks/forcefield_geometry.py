@@ -115,7 +115,10 @@ def grid_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------- #
 def rot_from_axisangle(vec: jnp.ndarray) -> jnp.ndarray:
     """(B, 3) axis-angle -> (B, 4, 4) rotation (pose_estimator/utils.py:45-86)."""
-    angle = jnp.linalg.norm(vec, axis=-1, keepdims=True)  # (B, 1)
+    # eps inside the sqrt: d||v||/dv is 0/0 = NaN at v == 0, and a pose head
+    # can emit an exactly-zero axis-angle (global-mean of ~zero convs, worse
+    # under bf16) — same hazard family as the KoLeo fix in ssl/losses.py
+    angle = jnp.sqrt(jnp.sum(vec * vec, axis=-1, keepdims=True) + 1e-14)  # (B, 1)
     axis = vec / (angle + 1e-7)
     ca = jnp.cos(angle)[..., 0]
     sa = jnp.sin(angle)[..., 0]

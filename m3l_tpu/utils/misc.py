@@ -41,7 +41,9 @@ def quaternion_apply(q, v):
 
 def axis_angle_to_quaternion(axis_angle):
     aa = jnp.asarray(axis_angle)
-    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    # sqrt(sum + eps^2) keeps the gradient finite at aa == 0 (norm's VJP is
+    # 0/0 there); forward shift is < 1e-8
+    angle = jnp.sqrt(jnp.sum(aa * aa, axis=-1, keepdims=True) + 1e-16)
     half = angle * 0.5
     sin_half = jnp.where(angle > 1e-8, jnp.sin(half) / jnp.maximum(angle, 1e-8), 0.5)
     return jnp.concatenate([jnp.cos(half), aa * sin_half], axis=-1)

@@ -75,6 +75,19 @@ def test_rot_from_axisangle():
     np.testing.assert_allclose(v, [0, 1, 0], atol=1e-5)
 
 
+def test_rot_from_axisangle_grad_finite_at_zero():
+    """A pose head emitting an exactly-zero axis-angle (typical at init) must
+    not NaN the photometric-loss gradient: d||v||/dv is 0/0 at v == 0, so the
+    angle uses sqrt(sum + eps^2) (same hazard family as the KoLeo fix)."""
+    import jax
+
+    def loss(aa):
+        return rot_from_axisangle(aa).sum()
+
+    g = jax.grad(loss)(jnp.zeros((2, 3)))
+    assert bool(jnp.isfinite(g).all()), g
+
+
 def test_transformation_invert_roundtrip():
     rng = np.random.default_rng(1)
     aa = jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32) * 0.1)

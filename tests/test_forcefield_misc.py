@@ -83,6 +83,13 @@ def test_quaternions_roundtrip():
     np.testing.assert_allclose(np.asarray(v), [[0.0, -1.0, 0.0]], atol=1e-6)
 
 
+def test_axis_angle_to_quaternion_grad_finite_at_zero():
+    import jax
+
+    g = jax.grad(lambda aa: axis_angle_to_quaternion(aa).sum())(jnp.zeros((2, 3)))
+    assert bool(jnp.isfinite(g).all()), g
+
+
 def test_average_meter():
     m = AverageMeter("loss")
     m.update(1.0)

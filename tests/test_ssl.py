@@ -150,6 +150,24 @@ def test_koleo_grad_finite_with_duplicate_rows():
     assert bool(jnp.isfinite(g).all()), g
 
 
+def test_dino_head_grad_finite_at_zero_input():
+    """The DINOHead's L2-normalize must keep a finite gradient even for an
+    exactly-zero bottleneck vector (max(norm, eps) clamps the forward but the
+    norm VJP is still 0/0 at zero — sqrt(sum + eps^2) is used instead)."""
+    from m3l_tpu.nn.vit_layers import DINOHead
+
+    head = DINOHead(16, 32, hidden_dim=16, bottleneck_dim=8, rngs=nnx.Rngs(0))
+    graphdef, params = nnx.split(head, nnx.Param)
+
+    def loss(p, x):
+        return nnx.merge(graphdef, p)(x).sum()
+
+    x = jnp.zeros((2, 16))
+    g = jax.grad(loss)(params, x)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
 def test_mae_module_trains(tmp_path):
     enc = tiny_vit(registers=0)
     mae = MAEModule(enc, decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2, mask_ratio=0.75, rngs=nnx.Rngs(1))
