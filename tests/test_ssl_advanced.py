@@ -109,3 +109,59 @@ def test_vjepa_mask_indices_partition():
     np.testing.assert_array_equal(np.asarray(idx), [[0, 3, 5], [0, 3, 5]])
     inv = _mask_to_indices(~keep, 5)
     np.testing.assert_array_equal(np.sort(np.asarray(inv)), [[1, 2, 4, 6, 7]] * 2)
+
+
+@pytest.mark.parametrize("family", ["mae", "dino", "dinov2", "ijepa", "vjepa"])
+def test_ssl_grads_finite_with_duplicate_frames(family):
+    """Duplicate images in a batch must never NaN any SSL family's gradient.
+    Trajectory datasets routinely contain (near-)identical consecutive
+    frames; the round-4 DINOv2 texture run NaN'd at step 1 because KoLeo's
+    nearest-neighbor distance hit an exact collision (0/0 norm gradient).
+    This canary differentiates each family's training_loss on a batch whose
+    first two samples are bit-identical."""
+    from m3l_tpu.ssl import DINOModule, MAEModule
+
+    if family == "vjepa":
+        enc = VisionTransformer(
+            img_size=(32, 32), patch_size=8, num_frames=2, tubelet_size=2, in_chans=3,
+            embed_dim=32, depth=2, num_heads=2, pos_embed_fn="sinusoidal", rngs=nnx.Rngs(0),
+        )
+        pred = vit_predictor(
+            input_dim=32, patch_size=8, embed_dim=48, depth=1, num_heads=2,
+            img_size=(32, 32), in_chans=3, num_frames=2, tubelet_size=2, rngs=nnx.Rngs(1),
+        )
+        mod = VJEPAModule(enc, pred, mask_ratio=0.75, rngs=nnx.Rngs(2))
+        img = np.random.default_rng(0).random((4, 2, 32, 32, 3), dtype=np.float32)
+    else:
+        enc = tiny_vit(registers=0 if family in ("mae", "ijepa") else 1)
+        if family == "mae":
+            mod = MAEModule(enc, decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2, mask_ratio=0.75, rngs=nnx.Rngs(1))
+        elif family == "dino":
+            mod = DINOModule(
+                enc, dino_out_dim=64, dino_hidden_dim=32, dino_bottleneck_dim=16,
+                num_local_masks=2, with_reconstruction_probe=False, rngs=nnx.Rngs(1),
+            )
+        elif family == "dinov2":
+            mod = DINOv2Module(
+                enc, dino_out_dim=64, dino_hidden_dim=32, dino_bottleneck_dim=16,
+                num_global_masks=2, num_local_masks=2, koleo_weight=0.1,
+                centering="centering", with_reconstruction_probe=False, rngs=nnx.Rngs(1),
+            )
+        else:
+            pred = vit_predictor(input_dim=32, patch_size=8, embed_dim=48, depth=1, num_heads=2, img_size=(32, 32), in_chans=3, num_mask_tokens=4, rngs=nnx.Rngs(3))
+            mod = IJEPAModule(enc, pred, num_target_masks=2, rngs=nnx.Rngs(4))
+        img = np.random.default_rng(0).random((4, 32, 32, 3), dtype=np.float32)
+    img[1] = img[0]  # exact duplicate pair
+    batch = {"image": jnp.asarray(img)}
+
+    graphdef, params, rest = nnx.split(mod, mod.trainable_filter, ...)
+
+    def loss_fn(p):
+        m = nnx.merge(graphdef, p, rest)
+        loss, _ = m.training_loss(batch, jax.random.PRNGKey(0), jnp.asarray(0))
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss)), (family, loss)
+    bad = [p for p, l in jax.tree.leaves_with_path(grads) if not bool(jnp.isfinite(l).all())]
+    assert not bad, (family, bad)
