@@ -94,3 +94,43 @@ def test_texture_classes_decodable_from_orientation_energy():
     assert (pred_i == labels[n_train:]).mean() < 0.55
     # without textures the key is absent
     assert "textile" not in synth_digit_trajectories(2, 2, seed=0)
+
+
+def test_feature_diag_windowing_matches_probe_windowing():
+    # scripts/feature_diag.py re-derives the probe windows WITH traj_id (the
+    # shared helper drops it); the episode-vs-texture diagnosis is only valid
+    # if its windows are bit-identical to what the probes trained/tested on.
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "feature_diag", os.path.join(os.path.dirname(__file__), "..", "scripts", "feature_diag.py")
+    )
+    fd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fd)
+
+    data = synth_digit_trajectories(4, 7, seed=3, textures=3)
+    ref = windowed_probe_samples(data, 2)
+    win, tex, tid = fd.windowed_with_traj(data, 2)
+    np.testing.assert_array_equal(win, ref["image"])
+    np.testing.assert_array_equal(tex, ref["textile"])
+    # traj ids are constant within each window's span and label frames
+    assert win.shape[0] == tid.shape[0]
+    assert set(np.unique(tid)) <= set(range(4))
+
+
+def test_effective_rank_detects_collapse():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "feature_diag", os.path.join(os.path.dirname(__file__), "..", "scripts", "feature_diag.py")
+    )
+    fd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fd)
+
+    rng = np.random.default_rng(0)
+    iso = rng.normal(size=(512, 64)).astype(np.float32)
+    assert fd.effective_rank(iso) > 50
+    collapsed = np.outer(rng.normal(size=512), rng.normal(size=64)).astype(np.float32)
+    assert fd.effective_rank(collapsed) < 2.5
