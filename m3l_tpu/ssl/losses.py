@@ -157,7 +157,9 @@ def koleo_loss(student_output: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Kozachenko-Leonenko entropic regularizer (koleo_loss.py:18-48):
     -mean(log distance-to-nearest-neighbor) over L2-normalized features."""
     x = student_output.astype(jnp.float32)
-    x = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), eps, None)
+    # sqrt(sum + eps^2), not clip(norm, eps): clip clamps the forward but the
+    # norm's VJP is still 0/0 = NaN at an exactly-zero vector (CLAUDE.md rule)
+    x = x / jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps * eps)
     dots = x @ x.T
     n = x.shape[0]
     dots = dots - 2.0 * jnp.eye(n)  # exclude self (fill diag with -1-ish)

@@ -230,8 +230,15 @@ def flow_smooth_1st_loss(flow: jnp.ndarray, image: jnp.ndarray, alpha: float = 0
     return jnp.mean(w_x * jnp.abs(dx) / 2.0) + jnp.mean(w_y * jnp.abs(dy) / 2.0)
 
 
-def robust_photometric_loss(im: jnp.ndarray, im_warp: jnp.ndarray, p: int = 2) -> jnp.ndarray:
-    """Mean p-norm over channels (ssl_utils.py:69-74), NHWC."""
+def robust_photometric_loss(im: jnp.ndarray, im_warp: jnp.ndarray, p: int = 2, eps: float = 1e-8) -> jnp.ndarray:
+    """Mean p-norm over channels (ssl_utils.py:69-74), NHWC.
+
+    eps INSIDE the sqrt: d/dx ||x||_2 is 0/0 = NaN at an exactly-zero pixel
+    difference, which bit-identical flat/static tactile regions produce
+    routinely (torch defines the subgradient at 0 as 0; JAX does not)."""
+    if p == 2:
+        d = im - im_warp
+        return jnp.mean(jnp.sqrt(jnp.sum(d * d, axis=-1) + eps * eps))
     return jnp.mean(jnp.linalg.norm(im - im_warp, ord=p, axis=-1))
 
 

@@ -197,3 +197,44 @@ def test_overlay_video(tmp_path):
     import os
 
     assert os.path.getsize(out) > 0
+
+
+def test_photometric_grad_finite_on_identical_frames():
+    """robust_photometric_loss is differentiated inside the forcefield SSL
+    loss; bit-identical pixel vectors (flat/static tactile regions through
+    grid_sample) must not produce a 0/0 norm VJP (ADVICE r4; torch defines
+    the norm subgradient at 0 as 0, JAX does not)."""
+    from m3l_tpu.tasks.forcefield_geometry import robust_photometric_loss
+
+    im = jnp.asarray(np.random.default_rng(0).random((2, 8, 8, 3), np.float32))
+
+    def f(w):
+        return robust_photometric_loss(im, im * w)  # w=1 -> exactly-zero diff
+
+    val, grad = jax.value_and_grad(f)(jnp.asarray(1.0))
+    assert np.isfinite(float(val)) and np.isfinite(float(grad)), (val, grad)
+
+
+def test_forcefield_grads_finite_with_duplicate_frames():
+    """The forcefield-module arm of the duplicate-frame gradient canary
+    (ADVICE r4): a window whose two frames are bit-identical (static sensor)
+    with a duplicated row in the batch must keep every gradient finite."""
+    dec = ForceFieldDecoder(tiny_vit(), hooks=(0, 1, 2, 3), fusion_ch=16, rngs=nnx.Rngs(1))
+    mod = GeometricForceFieldModule(dec, rngs=nnx.Rngs(2))
+    rng = np.random.default_rng(0)
+    img = rng.random((2, 32, 32, 6), np.float32)
+    img[:, :, :, 3:] = img[:, :, :, :3]  # frame_{-1} == frame_0 (static)
+    img[1] = img[0]  # duplicate batch row
+    batch = {"image": jnp.asarray(img), "image_bg": jnp.asarray(img)}
+
+    graphdef, params, rest = nnx.split(mod, mod.trainable_filter, ...)
+
+    def loss_fn(p):
+        m = nnx.merge(graphdef, p, rest)
+        loss, _ = m.training_loss(batch, jax.random.PRNGKey(0), jnp.asarray(0))
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    bad = [p for p, l in jax.tree.leaves_with_path(grads) if not bool(jnp.isfinite(l).all())]
+    assert not bad, bad
