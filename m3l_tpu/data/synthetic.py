@@ -90,6 +90,7 @@ def synth_digit_trajectories(
     contact = np.zeros(N, np.float32)
     traj_id = np.repeat(np.arange(n_traj), traj_len)
     textile = np.zeros(N, np.int64)
+    positions = np.zeros((N, 2), np.float32)
 
     for ti in range(n_traj):
         # per-trajectory background: channel gradients + low-freq speckle
@@ -152,18 +153,29 @@ def synth_digit_trajectories(
                     pos = rng.uniform(0.3, 0.7, size=2).astype(np.float32)
             frames[i] = (render_frame(bg, pos, f if phase != "off" else np.zeros(3), size) * 255).astype(np.uint8)
             forces[i] = f if phase != "off" else 0.0
-    out = {"frames": frames, "force": forces, "slip": slips, "traj_id": traj_id, "in_contact": contact}
+            positions[i] = pos
+    out = {"frames": frames, "force": forces, "slip": slips, "traj_id": traj_id, "in_contact": contact, "pos": positions}
     if textures:
         out["textile"] = textile
     return out
 
 
-def windowed_probe_samples(data: dict, num_frames: int = 2, stride: int = 1):
+def windowed_probe_samples(data: dict, num_frames: int = 2, stride: int = 1, pose_bins: int = 10):
     """Channel-concatenated ``num_frames``-windows (the reference's
     concat_ch_img out_format, vision_tactile.py:160-166) with the LAST
     frame's labels; windows never straddle trajectory boundaries.
 
-    Returns {image (M,H,W,3*num_frames) uint8, force (M,3), slip (M,)}."""
+    Returns {image (M,H,W,3*num_frames) uint8, force (M,3), slip (M,)} plus,
+    when the generator recorded contact positions:
+
+    * T3 pose labels (reference pose_sl.py:170-196 bins pose into class
+      heads): ``pose_x``/``pose_y`` = contact-blob position binned over its
+      [0.15, 0.85] range, ``pose_theta`` = shear direction atan2(fy, fx)
+      binned over [-pi, pi) — all pixel-recoverable in contact (blob
+      location; tri-light channel shading).
+    * T4 grasp-stability label (grasp_sl.py:66-178 binary): gripping =
+      firm contact (fz >= 0.45) that is NOT slipping — recoverable from
+      blob size/darkening + 2-frame motion."""
     frames, tid = data["frames"], data["traj_id"]
     span = (num_frames - 1) * stride
     idx = np.arange(span, len(frames))
@@ -178,4 +190,15 @@ def windowed_probe_samples(data: dict, num_frames: int = 2, stride: int = 1):
     }
     if "textile" in data:
         out["textile"] = data["textile"][idx]
+    if "pos" in data:
+        pos = data["pos"][idx]
+        f = data["force"][idx]
+        scaled = np.clip((pos - 0.15) / 0.7, 0.0, 1.0 - 1e-6)
+        out["pose_x"] = (scaled[:, 0] * pose_bins).astype(np.int64)
+        out["pose_y"] = (scaled[:, 1] * pose_bins).astype(np.int64)
+        theta = np.arctan2(f[:, 1], f[:, 0])  # [-pi, pi]
+        out["pose_theta"] = np.minimum(
+            ((theta + np.pi) / (2 * np.pi) * pose_bins).astype(np.int64), pose_bins - 1
+        )
+        out["grasp"] = ((f[:, 2] >= 0.45) & (data["slip"][idx] == 0)).astype(np.int64)
     return out

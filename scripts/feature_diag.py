@@ -84,7 +84,7 @@ def main():
     import sys
 
     sys.path.insert(0, os.path.dirname(__file__))
-    from transfer_experiment import build_encoder  # same arch as every arm
+    from transfer_experiment import as_video, build_encoder, build_video_encoder  # same archs as the arms
 
     # test split: SAME generator call as transfer_experiment.py (seed=3)
     raw = synth_digit_trajectories(60, 50, seed=3, textures=6)
@@ -105,6 +105,7 @@ def main():
         "dino": (os.path.join(args.out, "ssl_dino/last.ckpt"), "dino"),
         "dinov2": (os.path.join(args.out, "ssl_dinov2/last.ckpt"), "dino"),
         "ijepa": (os.path.join(args.out, "ssl_ijepa/last.ckpt"), "jepa"),
+        "vjepa": (os.path.join(args.out, "ssl_vjepa/last.ckpt"), "jepa"),
     }
 
     results = {}
@@ -113,7 +114,8 @@ def main():
             print(f"[diag] skip {name}: no {ckpt}")
             continue
         # probes build the encoder with rngs 42 — match the random arm exactly
-        encoder = build_encoder(nnx.Rngs(42), jnp.bfloat16)
+        is_video = name == "vjepa"
+        encoder = (build_video_encoder if is_video else build_encoder)(nnx.Rngs(42), jnp.bfloat16)
         if ckpt is not None:
             load_encoder_from_checkpoint(encoder, ckpt, enc_type)
         gdef, state = nnx.split(encoder)
@@ -121,7 +123,10 @@ def main():
         @functools.partial(jax.jit, static_argnums=())
         def encode(state, x):
             enc = nnx.merge(gdef, state)
-            toks = enc.forward_features(as_float_image(x))["x_norm_patchtokens"]
+            xf = as_float_image(x)
+            if is_video:
+                xf = as_video(xf)
+            toks = enc.forward_features(xf)["x_norm_patchtokens"]
             return jnp.mean(toks.astype(jnp.float32), axis=1)
 
         chunks = []

@@ -49,6 +49,35 @@ def build_encoder(rngs, dtype):
     )
 
 
+def build_video_encoder(rngs, dtype):
+    """2-frame tubelet encoder for the V-JEPA arm (reference
+    tactile_ssl/algorithm/vjepa.py consumes b c t h w video; here the same
+    96x96 windows as the other arms, kept as 2 frames instead of channel-
+    concatenated). grid = (1, 6, 6) -> 36 tokens, matching the image arms."""
+    from m3l_tpu.models.vit import VisionTransformer
+
+    return VisionTransformer(
+        img_size=(96, 96),
+        patch_size=16,
+        in_chans=3,
+        num_frames=2,
+        tubelet_size=2,
+        embed_dim=192,
+        depth=6,
+        num_heads=3,
+        pos_embed_fn="sinusoidal",
+        dtype=dtype,
+        rngs=rngs,
+    )
+
+
+def as_video(windows):
+    """concat_ch windows (M, H, W, 2*C) -> (M, 2, H, W, C) video; the window
+    channels are [frame0 RGB, frame1 RGB] (windowed_probe_samples order)."""
+    m, h, w, c = windows.shape
+    return windows.reshape(m, h, w, 2, c // 2).transpose(0, 3, 1, 2, 4)
+
+
 def pretrain(algo: str, ssl_frames: dict, out_dir: str, epochs: int, batch_size: int, dtype, verbose: int):
     """Pretrain `algo` on SSL windows; returns checkpoint path."""
     import jax.numpy as jnp
@@ -133,6 +162,26 @@ def pretrain(algo: str, ssl_frames: dict, out_dir: str, epochs: int, batch_size:
             warmup_epochs=2,
             rngs=rngs,
         )
+    elif algo == "vjepa":
+        # V-JEPA latent prediction on 2-frame tactile "video" with tube masks
+        # (reference tactile_ssl/algorithm/vjepa.py:348-377; VERDICT r4 #2 —
+        # the one SSL family without end-to-end evidence).
+        from m3l_tpu.ssl.vjepa import VJEPAModule
+        from m3l_tpu.train.builders import build_predictor
+
+        encoder = build_video_encoder(rngs, dtype)
+        predictor = build_predictor(encoder, embed_dim=96, depth=4, num_heads=3, num_mask_tokens=1, seed=7)
+        module = VJEPAModule(
+            encoder,
+            predictor,
+            mask_ratio=0.75,
+            num_masks=1,
+            moving_average_decay=(0.998, 1.0),
+            base_lr=1e-3,
+            warmup_epochs=2,
+            rngs=rngs,
+        )
+        ssl_frames = {"image": as_video(ssl_frames["image"])}
     else:
         raise ValueError(algo)
     loader = get_loader(ssl_frames, batch_size)
@@ -143,18 +192,27 @@ def pretrain(algo: str, ssl_frames: dict, out_dir: str, epochs: int, batch_size:
     return ckpt
 
 
-def train_probe(task: str, regime: str, ckpt: str | None, encoder_type: str, splits, epochs, batch_size, dtype, verbose):
+def train_probe(task: str, regime: str, ckpt: str | None, encoder_type: str, splits, epochs, batch_size, dtype, verbose, video: bool = False):
     """Train a T1/T2 probe in the given regime; returns (module, metrics)."""
     import jax.numpy as jnp
     from flax import nnx
 
     from m3l_tpu.tasks.modules import ForceSLModule, SlipSLModule
     from m3l_tpu.tasks.probes import ForceLinearProbe, SlipProbe
+    from m3l_tpu.tasks.sl_module import EncoderWrapper
     from m3l_tpu.train.trainer import Trainer
+
+    class VideoEncoderWrapper(EncoderWrapper):
+        """Feeds the probes' concat_ch windows to a tubelet (video) encoder:
+        (B, H, W, 2*C) -> (B, 2, H, W, C). Keeps the probe/eval pipeline
+        identical across arms; checkpoint surgery still targets .encoder."""
+
+        def __call__(self, x):
+            return self.encoder.forward_features(as_video(x))["x_norm_patchtokens"]
 
     train, test = splits
     rngs = nnx.Rngs(42)
-    encoder = build_encoder(rngs, dtype)
+    encoder = VideoEncoderWrapper(build_video_encoder(rngs, dtype)) if video else build_encoder(rngs, dtype)
     kwargs = dict(
         checkpoint_encoder=ckpt if regime == "pretrained" else None,
         encoder_type=encoder_type,
@@ -177,6 +235,25 @@ def train_probe(task: str, regime: str, ckpt: str | None, encoder_type: str, spl
         probe = TextileLinearProbe(192, num_classes=n_classes, num_heads=3, dtype=dtype, rngs=rngs)
         module = TextileSLModule(encoder, probe, **kwargs)
         keys = {"image", "textile"}
+    elif task == "pose":
+        # T3 pose analogue: contact-blob position bins + shear-direction bin
+        # (reference downstream_task/pose_sl.py:100-304; VERDICT r4 #5)
+        from m3l_tpu.tasks.modules import PoseSLModule
+        from m3l_tpu.tasks.probes import PoseLinearProbe
+
+        probe = PoseLinearProbe(192, num_classes=10, num_heads=3, dtype=dtype, rngs=rngs)
+        module = PoseSLModule(encoder, probe, **kwargs)
+        keys = {"image", "pose_x", "pose_y", "pose_theta"}
+    elif task == "grasp":
+        # T4 grasp stability: firm non-slipping contact (reference
+        # downstream_task/grasp_sl.py:66-178; VERDICT r4 #5)
+        from m3l_tpu.tasks.modules import GraspSLModule
+        from m3l_tpu.tasks.probes import GraspLinearProbe
+
+        n1 = float(train["grasp"].mean())
+        probe = GraspLinearProbe(192, num_classes=2, num_heads=3, dtype=dtype, rngs=rngs)
+        module = GraspSLModule(encoder, probe, class_weights=[1.0 / max(1 - n1, 1e-3), 1.0 / max(n1, 1e-3)], **kwargs)
+        keys = {"image", "grasp"}
     else:
         n1 = float(train["slip"].mean())
         probe = SlipProbe(192, num_classes=2, num_heads=3, dtype=dtype, rngs=rngs)
@@ -190,15 +267,21 @@ def train_probe(task: str, regime: str, ckpt: str | None, encoder_type: str, spl
 
 
 def evaluate_probe(task, module, test, out_dir, tag, batch_size):
-    from m3l_tpu.eval.tacbench import TestForceSL, TestSlipSL, TestTextileSL
+    from m3l_tpu.eval.tacbench import TestForceSL, TestGraspSL, TestPoseSL, TestSlipSL, TestTextileSL
 
-    keys = {"force": {"image", "force"}, "slip": {"image", "slip"}, "texture": {"image", "textile"}}[task]
+    keys = {
+        "force": {"image", "force"},
+        "slip": {"image", "slip"},
+        "texture": {"image", "textile"},
+        "pose": {"image", "pose_x", "pose_y", "pose_theta"},
+        "grasp": {"image", "grasp"},
+    }[task]
     te = {k: v for k, v in test.items() if k in keys}
     # drop_last=False: eval must cover the WHOLE test set (the tail batch is
     # one extra compile at the remainder shape — fine for a one-shot eval)
     loader = get_loader(te, batch_size, shuffle=False, drop_last=False)
     cache = os.path.join(out_dir, "eval", tag)
-    tester_cls = {"force": TestForceSL, "slip": TestSlipSL, "texture": TestTextileSL}[task]
+    tester_cls = {"force": TestForceSL, "slip": TestSlipSL, "texture": TestTextileSL, "pose": TestPoseSL, "grasp": TestGraspSL}[task]
     tester = tester_cls(module, cache_dir=cache)
     results = tester.run_model(loader)
     metrics = tester.get_overall_metrics(results)
@@ -257,18 +340,27 @@ def main():
     test_w = windowed_probe_samples(test_raw, 2)
     print(f"[transfer] ssl {len(ssl_w['image'])} | probe-train {len(train_w['image'])} | test {len(test_w['image'])}")
 
+    def contact_only(w):
+        m = w["in_contact"] > 0.5
+        return {k: v[m] for k, v in w.items()}
+
     all_metrics = {}
     for algo in args.algos.split(","):
         ckpt = pretrain(algo, {"image": ssl_w["image"]}, args.out, args.epochs_ssl, args.batch_size, dtype, args.verbose)
         enc_type = "dino" if "dino" in algo else ("jepa" if "jepa" in algo else "mae")
         for task in args.tasks.split(","):
+            # pose is only defined in contact (the blob is the pose cue)
+            tr_w, te_w = (contact_only(train_w), contact_only(test_w)) if task == "pose" else (train_w, test_w)
             for regime in args.regimes.split(","):
                 if regime != "pretrained" and f"{task}/{regime}" in all_metrics:
                     continue  # random/e2e are algo-independent
                 tag = f"{task}/{regime}" if regime != "pretrained" else f"{task}/{algo}-frozen"
                 t0 = time.time()
-                module = train_probe(task, regime, ckpt, enc_type, (train_w, test_w), args.epochs_probe, args.batch_size, dtype, args.verbose)
-                m = evaluate_probe(task, module, test_w, args.out, tag.replace("/", "_"), args.batch_size)
+                module = train_probe(
+                    task, regime, ckpt, enc_type, (tr_w, te_w), args.epochs_probe,
+                    args.batch_size, dtype, args.verbose, video=(algo == "vjepa" and regime == "pretrained"),
+                )
+                m = evaluate_probe(task, module, te_w, args.out, tag.replace("/", "_"), args.batch_size)
                 m["train_time_s"] = round(time.time() - t0, 1)
                 all_metrics[tag] = m
                 print(f"[transfer] {tag}: " + json.dumps(m))
@@ -293,6 +385,10 @@ def main():
             ci = m.get("rmse_z_ci95", (float("nan"), float("nan")))
             key = f"RMSE {m.get('rmse', float('nan')):.4f} (z CI95 {ci[0]:.4f}-{ci[1]:.4f}), mean Pearson {pearson:.3f}"
         elif task == "texture":
+            key = f"acc {m.get('accuracy', float('nan')):.3f}, balanced {m.get('balanced_accuracy', float('nan')):.3f}"
+        elif task == "pose":
+            key = ", ".join(f"acc_{h} {m.get(f'acc_{h}', float('nan')):.3f}" for h in ("x", "y", "theta"))
+        elif task == "grasp":
             key = f"acc {m.get('accuracy', float('nan')):.3f}, balanced {m.get('balanced_accuracy', float('nan')):.3f}"
         else:
             f1 = m.get("f1", [float("nan")] * 2)

@@ -134,3 +134,41 @@ def test_effective_rank_detects_collapse():
     assert fd.effective_rank(iso) > 50
     collapsed = np.outer(rng.normal(size=512), rng.normal(size=64)).astype(np.float32)
     assert fd.effective_rank(collapsed) < 2.5
+
+
+def test_pose_and_grasp_labels():
+    """T3/T4 synthetic labels (VERDICT r4 #5): pose bins cover their ranges
+    and track the recorded blob position; grasp = firm non-slipping contact."""
+    d = synth_digit_trajectories(10, 40, seed=0)
+    assert d["pos"].shape == (400, 2)
+    w = windowed_probe_samples(d, 2, pose_bins=10)
+    for k in ("pose_x", "pose_y", "pose_theta", "grasp"):
+        assert w[k].shape == (len(w["image"]),)
+    for h in ("pose_x", "pose_y", "pose_theta"):
+        assert w[h].min() >= 0 and w[h].max() <= 9
+    # bins are monotone in position: recompute from the recorded pos
+    span_idx = np.arange(1, 400)
+    ok = d["traj_id"][span_idx] == d["traj_id"][span_idx - 1]
+    pos = d["pos"][span_idx][ok]
+    expect_x = np.clip((pos[:, 0] - 0.15) / 0.7, 0, 1 - 1e-6) * 10
+    np.testing.assert_array_equal(w["pose_x"], expect_x.astype(np.int64))
+    # grasp label consistency + both classes present
+    f = w["force"]
+    np.testing.assert_array_equal(w["grasp"], ((f[:, 2] >= 0.45) & (w["slip"] == 0)).astype(np.int64))
+    assert 0.1 < w["grasp"].mean() < 0.9
+    # gripping implies contact (pixel-recoverable: a blob is visible)
+    assert (w["in_contact"][w["grasp"] == 1] == 1).all()
+
+
+def test_pose_position_decodable_from_pixels():
+    """Blob position must be recoverable from pixels in contact: the
+    intensity-minimum (indentation darkening) location tracks pos."""
+    d = synth_digit_trajectories(6, 30, seed=1)
+    mask = (d["in_contact"] > 0.5) & (d["force"][:, 2] > 0.3)
+    frames, pos = d["frames"][mask], d["pos"][mask]
+    errs = []
+    for fr, p in zip(frames[:80], pos[:80]):
+        g = fr.astype(np.float32).mean(-1)
+        yx = np.unravel_index(np.argmin(g), g.shape)
+        errs.append(np.hypot(yx[1] / 96 - p[0], yx[0] / 96 - p[1]))
+    assert np.median(errs) < 0.08, np.median(errs)
