@@ -100,6 +100,8 @@ def synth_digit_trajectories(
         )
         bg += _smooth_noise(rng, size, size, cells=8, amp=0.05)[..., None]
         bg += rng.normal(size=(size, size, 3)).astype(np.float32) * 0.005
+        if ti == 0:
+            bg_frames = np.zeros((n_traj, size, size, 3), np.uint8)
         if textures:
             k = int(rng.integers(textures))
             textile[ti * traj_len : (ti + 1) * traj_len] = k
@@ -109,6 +111,7 @@ def synth_digit_trajectories(
             grating = np.sin(2 * np.pi * freq * (np.cos(theta) * xx + np.sin(theta) * yy) + phase)
             bg += (0.06 * rng.choice([-1.0, 1.0])) * grating[..., None]
 
+        bg_frames[ti] = (np.clip(bg, 0.0, 1.0) * 255).astype(np.uint8)
         pos = rng.uniform(0.3, 0.7, size=2).astype(np.float32)
         vel = np.zeros(2, np.float32)
         f = np.array([0.0, 0.0, 0.0], np.float32)
@@ -154,7 +157,15 @@ def synth_digit_trajectories(
             frames[i] = (render_frame(bg, pos, f if phase != "off" else np.zeros(3), size) * 255).astype(np.uint8)
             forces[i] = f if phase != "off" else 0.0
             positions[i] = pos
-    out = {"frames": frames, "force": forces, "slip": slips, "traj_id": traj_id, "in_contact": contact, "pos": positions}
+    out = {
+        "frames": frames,
+        "force": forces,
+        "slip": slips,
+        "traj_id": traj_id,
+        "in_contact": contact,
+        "pos": positions,
+        "bg_frames": bg_frames,
+    }
     if textures:
         out["textile"] = textile
     return out
@@ -202,3 +213,34 @@ def windowed_probe_samples(data: dict, num_frames: int = 2, stride: int = 1, pos
         )
         out["grasp"] = ((f[:, 2] >= 0.45) & (data["slip"][idx] == 0)).astype(np.int64)
     return out
+
+
+def forcefield_windows(data: dict, mask_threshold: float = 0.05):
+    """ForceFieldSSL-format samples (reference
+    vision_tactile_forcefield.py:93-138 concat_ch_img + add_bg):
+
+    * ``image``    (M, H, W, 6) uint8 = [frame_0, frame_{-1}] — the shear
+      branch warps frame_{-1} -> frame_0 by the predicted flow;
+    * ``image_bg`` (M, H, W, 6) uint8 = [frame_0, background] — the normal
+      branch reads disparity from the contact indentation against the clean
+      gel background (`_get_tactile_images(add_bg=True)`);
+    * ``mask``     (M, H, W) f32 contact mask (|frame_0 - bg| above
+      threshold) for the optional mask supervision;
+    * ``force``    (M, 3) ground-truth integrated force for evaluation /
+      optional SL supervision.
+
+    Windows never straddle trajectory boundaries."""
+    frames, tid, bgs = data["frames"], data["traj_id"], data["bg_frames"]
+    idx = np.arange(1, len(frames))
+    idx = idx[tid[idx] == tid[idx - 1]]
+    frame0 = frames[idx]
+    frame_m1 = frames[idx - 1]
+    bg = bgs[tid[idx]]
+    diff = np.abs(frame0.astype(np.float32) - bg.astype(np.float32)).mean(-1) / 255.0
+    return {
+        "image": np.concatenate([frame0, frame_m1], axis=-1),
+        "image_bg": np.concatenate([frame0, bg], axis=-1),
+        "mask": (diff > mask_threshold).astype(np.float32),
+        "force": data["force"][idx],
+        "in_contact": data["in_contact"][idx],
+    }

@@ -329,8 +329,13 @@ class GeometricForceFieldModule(SLModuleBase):
         return disp, shear
 
     def training_loss(self, batch: dict, key, step):
-        x = batch["image"]  # (B, H, W, 6): frame_0 ++ frame_{-1}
-        x_bg = batch.get("image_bg", x)
+        from ..ssl.module import as_float_image
+
+        # uint8 windows stay uint8 through the host->device link (4x less
+        # transfer over the relay); dequantize on device like every other
+        # module (ssl/module.py as_float_image; float input passes through)
+        x = as_float_image(batch["image"])  # (B, H, W, 6): frame_0 ++ frame_{-1}
+        x_bg = as_float_image(batch.get("image_bg", batch["image"]))
         frame0, frame_m1 = x[..., 0:3].astype(jnp.float32), x[..., 3:6].astype(jnp.float32)
         b, h, w = frame0.shape[:3]
 
@@ -382,7 +387,9 @@ class GeometricForceFieldModule(SLModuleBase):
         return x
 
     def predict(self, x):
-        field = self.model_task(x)
+        from ..ssl.module import as_float_image
+
+        field = self.model_task(as_float_image(x))
         return jnp.concatenate([field[..., :1], field[..., 1:] * self.scale_flow], axis=-1)
 
     def render_overlay_video(self, images: np.ndarray, path: str, *, spacing: int = 16, fps: int = 10, max_frames: int = 50) -> str:

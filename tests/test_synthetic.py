@@ -172,3 +172,32 @@ def test_pose_position_decodable_from_pixels():
         yx = np.unravel_index(np.argmin(g), g.shape)
         errs.append(np.hypot(yx[1] / 96 - p[0], yx[0] / 96 - p[1]))
     assert np.median(errs) < 0.08, np.median(errs)
+
+
+def test_forcefield_windows_format():
+    """ForceFieldSSL sample format (reference vision_tactile_forcefield.py:
+    93-138): image = [frame_0, frame_{-1}], image_bg = [frame_0, bg];
+    contact mask covers the blob when in contact."""
+    from m3l_tpu.data.synthetic import forcefield_windows
+
+    d = synth_digit_trajectories(5, 20, seed=2)
+    w = forcefield_windows(d)
+    m = len(w["image"])
+    assert m == 5 * 20 - 5
+    assert w["image"].shape == (m, 96, 96, 6) and w["image"].dtype == np.uint8
+    assert w["image_bg"].shape == (m, 96, 96, 6)
+    # first 3 channels of image and image_bg are the SAME current frame
+    np.testing.assert_array_equal(w["image"][..., :3], w["image_bg"][..., :3])
+    # image's second half is the PREVIOUS frame
+    idx = np.arange(1, 100)
+    idx = idx[d["traj_id"][idx] == d["traj_id"][idx - 1]]
+    np.testing.assert_array_equal(w["image"][..., 3:], d["frames"][idx - 1])
+    # bg half is constant within a trajectory
+    tid = d["traj_id"][idx]
+    first = np.searchsorted(tid, tid)
+    np.testing.assert_array_equal(w["image_bg"][..., 3:], w["image_bg"][first][..., 3:])
+    # mask nonzero iff in contact (blob present), and localized (not full-frame)
+    frac = w["mask"].mean((1, 2))
+    contact = w["in_contact"] > 0.5
+    assert (frac[contact] > 0.002).all()
+    assert frac.max() < 0.5
