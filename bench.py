@@ -6,12 +6,24 @@ depth 4, frame_stack 4, obs = 64x64x12 image + 2x(32x32x12) tactile,
 mask ratio 0.95, PPO batch 512.
 
 Baseline: the reference publishes no numbers (BASELINE.md), so the baseline
-here is the *reference execution strategy* run as faithfully as possible on
-the SAME chip: float32 compute (the reference never uses AMP), two separate
+is the *reference execution strategy* run as faithfully as possible on the
+SAME chip: float32 compute (the reference never uses AMP), two separate
 backward passes per minibatch (MAE then PPO, ppo_mae.py:248-343), a separate
 optimizer step each, host-side per-minibatch vt_load tensor packing with a
 deepcopy (ppo_mae.py:258-260) and a per-minibatch host->device transfer of
-the packed float32 batch. `vs_baseline` = fused-TPU-native / reference-style.
+the packed float32 batch.
+
+De-noised ratio (VERDICT r4 weak #3): per-round re-measurements of that
+baseline swung 367-844 frames/s purely with host/relay contention while the
+fused number barely moved, so `vs_baseline` is now computed against the
+PINNED most-conservative baseline (844, the best ever measured, round 1)
+instead of a same-run re-measurement. Pass ``--baseline`` to re-measure the
+reference-style strategy and report against the live number. The absolute
+frames/s/chip value is the headline metric either way.
+
+Also reports MFU (VERDICT r4 weak #2): compiled-FLOPs accounting via
+``jit(...).lower().compile().cost_analysis()`` divided by measured wall time
+and the chip's bf16 peak.
 
 Prints ONE JSON line.
 
@@ -43,6 +55,14 @@ ATTEMPTS = 3
 # slow-but-progressing runs, so it is generous.
 ATTEMPT_TIMEOUT_S = 1500
 BACKOFF_S = 60
+
+# Reference-style fp32 baseline, PINNED at the most conservative (highest)
+# of the per-round measurements on this chip — 844 (r1), 837 (r2), 663 (r3),
+# 367 (r4); the swing is host/relay contention noise, not model speed.
+# Re-measure with --baseline.
+REF_STYLE_BASELINE_FPS = 844.0
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip.
+PEAK_FLOPS_BF16 = 197e12
 
 
 def supervise(argv: list[str]) -> int:
@@ -76,7 +96,25 @@ def supervise(argv: list[str]) -> int:
     return 1
 
 
-def main(full: bool = False):
+def _mfu_from_cost_analysis(jitted, args, wall_time_s: float):
+    """Compiled-FLOPs MFU: XLA's flop count for ONE execution of the jitted
+    program / measured wall / chip bf16 peak. Returns (mfu, tflops) or
+    (None, None) if the backend exposes no cost analysis."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops <= 0:
+            return None, None
+        return flops / wall_time_s / PEAK_FLOPS_BF16, flops / wall_time_s / 1e12
+    except Exception as e:  # cost analysis is best-effort; never void the bench
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+        return None, None
+
+
+def main(full: bool = False, baseline: bool = False):
     """``full=True`` (--full) benches the UNSOFTENED flagship: n_epochs=10
     and target_kl=0.1, timing the KL-early-stop masking arithmetic the
     headline config (reference defaults: target_kl=None, ppo_mae.py:104)
@@ -195,9 +233,19 @@ def main(full: bool = False):
     samples_per_update = EPOCHS * (N // BATCH) * BATCH
     fused_fps = samples_per_update * FRAME_STACK / fused_time
 
+    print(f"# [{time.strftime('%H:%M:%S')}] computing compiled-FLOPs MFU...", file=sys.stderr)
+    mfu, tflops = _mfu_from_cost_analysis(
+        model._train_phase,
+        (model.mae_params, model.other_params, model.policy_opt_state, model.mae_opt_state,
+         data, rewards, ep_starts, last_values, last_dones, jax.random.PRNGKey(0)),
+        fused_time,
+    )
+    if mfu is not None:
+        print(f"# MFU {mfu:.3f} ({tflops:.1f} TFLOP/s of {PEAK_FLOPS_BF16 / 1e12:.0f} peak)", file=sys.stderr)
+
     # ------------------------------------------------------------------ #
-    # 2) reference-style baseline on the same chip (fp32, split passes,
-    #    host-side per-minibatch vt_load + transfer)
+    # 2) reference-style baseline: pinned by default (see module docstring);
+    #    --baseline re-measures the fp32 split-pass strategy on this chip
     # ------------------------------------------------------------------ #
     if full:
         # --full reports the unsoftened fused number against the HEADLINE
@@ -210,6 +258,20 @@ def main(full: bool = False):
                     "value": round(fused_fps, 1),
                     "unit": "frames/s/chip",
                     "vs_baseline": None,
+                    "mfu": None if mfu is None else round(mfu, 4),
+                }
+            )
+        )
+        return
+    if not baseline:
+        print(
+            json.dumps(
+                {
+                    "metric": "joint_mae_ppo_update_obs_frames_per_sec_per_chip",
+                    "value": round(fused_fps, 1),
+                    "unit": "frames/s/chip",
+                    "vs_baseline": round(fused_fps / REF_STYLE_BASELINE_FPS, 3),
+                    "mfu": None if mfu is None else round(mfu, 4),
                 }
             )
         )
@@ -308,6 +370,7 @@ def main(full: bool = False):
                 "value": round(fused_fps, 1),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fused_fps / ref_fps, 3),
+                "mfu": None if mfu is None else round(mfu, 4),
             }
         )
     )
@@ -315,6 +378,6 @@ def main(full: bool = False):
 
 if __name__ == "__main__":
     if "--worker" in sys.argv:
-        main(full="--full" in sys.argv)
+        main(full="--full" in sys.argv, baseline="--baseline" in sys.argv)
     else:
         sys.exit(supervise(sys.argv[1:]))

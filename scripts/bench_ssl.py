@@ -84,18 +84,59 @@ def bench(model: str, decode_masked_only: bool, flat: bool, inner: int, batch: i
     return ms
 
 
+def step_flops(model: str, decode_masked_only: bool, flat: bool, batch: int) -> float:
+    """Compiled-FLOPs for ONE train step via AOT lower+compile+cost_analysis
+    (chipless on the relay — safe while a training run owns the chip)."""
+    mae, opt = build(model, decode_masked_only, flat)
+    trainable = mae.trainable_filter
+    graphdef, state = nnx.split((mae, opt))
+    x = jnp.asarray(np.random.default_rng(0).random((batch, 224, 224, 6), dtype=np.float32))
+
+    @jax.jit
+    def one_step(state, key):
+        module, optimizer = nnx.merge(graphdef, state)
+        (loss, aux), grads = nnx.value_and_grad(
+            lambda m: m.training_loss({"image": x}, key, jnp.asarray(0)),
+            has_aux=True,
+            argnums=nnx.DiffState(0, trainable),
+        )(module)
+        optimizer.update(module, grads)
+        module.on_train_batch_end(aux, jnp.asarray(0))
+        _, state = nnx.split((module, optimizer))
+        return state, loss
+
+    ca = one_step.lower(state, jax.random.PRNGKey(0)).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+PEAK_FLOPS_BF16 = 197e12  # TPU v5e per-chip bf16 peak
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="+", default=["small", "base"])
     ap.add_argument("--inner", type=int, default=INNER_DEFAULT)
     ap.add_argument("--configs", nargs="+", default=["he+optax", "crossmae+optax"])
     ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--mfu", action="store_true", help="AOT compiled-FLOPs only (no execution); combine with --ms")
+    ap.add_argument("--ms", nargs="+", type=float, default=None, help="with --mfu: measured ms/step per model (skips timing)")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}")
-    for model in args.models:
+    for i, model in enumerate(args.models):
         for cfg in args.configs:
             masked = cfg.startswith("crossmae")
             flat = cfg.endswith("flat")
+            if args.mfu:
+                flops = step_flops(model, masked, flat, args.batch)
+                line = f"MAE ViT-{model:5s} {cfg:14s} {flops / 1e9:8.1f} GFLOP/step"
+                if args.ms:
+                    ms = args.ms[i]
+                    mfu = flops / (ms / 1e3) / PEAK_FLOPS_BF16
+                    line += f"  @ {ms:.1f} ms -> {flops / (ms / 1e3) / 1e12:5.1f} TFLOP/s, MFU {mfu:.3f}"
+                print(line, flush=True)
+                continue
             ms = bench(model, masked, flat, args.inner, args.batch)
             fps = args.batch / ms * 1e3
             print(f"MAE ViT-{model:5s} {cfg:14s} {ms:7.1f} ms/step  {fps:8.0f} obs-frames/s/chip", flush=True)
