@@ -181,6 +181,7 @@ class Trainer:
         while self.current_epoch < self.max_epochs and not self._preempted:
             t0 = time.time()
             epoch_losses = []
+            epoch_scalars: dict = {}
             for batch in train_loader:
                 if self._preempted:
                     break
@@ -200,7 +201,12 @@ class Trainer:
                     if self.verbose:
                         print(f"[trainer] epoch {self.current_epoch} step {self.global_step}: " + " ".join(f"{kk}={vv:.4f}" for kk, vv in vals.items()))
                 epoch_losses.append(loss)
+                # keep DEVICE scalars; one stack+mean+readback at epoch end
+                # (a float() here would force a device sync every step)
+                for kk, vv in scalars.items():
+                    epoch_scalars.setdefault(kk, []).append(vv)
             epoch_loss = float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else float("nan")
+            train_scalars = {f"train_{kk}": float(jnp.mean(jnp.stack(vv))) for kk, vv in epoch_scalars.items()}
 
             val_loss = None
             val_scalars: dict = {}
@@ -224,7 +230,7 @@ class Trainer:
             self._maybe_log_images(module, train_loader, val_loader)
 
             self.current_epoch += 1
-            history.append({"epoch": self.current_epoch, "train_loss": epoch_loss, "val_loss": val_loss, "time": time.time() - t0})
+            history.append({"epoch": self.current_epoch, "train_loss": epoch_loss, "val_loss": val_loss, "time": time.time() - t0, **train_scalars})
             if self.verbose:
                 print(f"[trainer] epoch {self.current_epoch}/{self.max_epochs} train_loss={epoch_loss:.4f}" + (f" val_loss={val_loss:.4f}" if val_loss is not None else ""))
             self._save(module, optimizer, "last.ckpt")
