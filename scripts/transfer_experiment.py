@@ -88,8 +88,18 @@ def pretrain(algo: str, ssl_frames: dict, out_dir: str, epochs: int, batch_size:
     ckpt_dir = os.path.join(out_dir, f"ssl_{algo}")
     ckpt = os.path.join(ckpt_dir, "last.ckpt")
     if os.path.exists(ckpt):
-        print(f"[transfer] reusing {ckpt}")
-        return ckpt
+        # Reuse ONLY a checkpoint that finished its schedule. A preempted run
+        # (SIGTERM -> Trainer checkpoints and RETURNS) leaves a partial
+        # last.ckpt that a blind reuse would silently treat as pretrained —
+        # exactly how round 4's interrupted replication (epoch 8/45) clobbered
+        # the mae arm (0.785 -> 0.180). Resume-to-completion instead.
+        from m3l_tpu.train.checkpoint import load_checkpoint
+
+        done_epochs = int(load_checkpoint(ckpt).get("current_epoch", 0))
+        if done_epochs >= epochs:
+            print(f"[transfer] reusing {ckpt} ({done_epochs} epochs)")
+            return ckpt
+        print(f"[transfer] {ckpt} is partial ({done_epochs}/{epochs} epochs); resuming")
     rngs = nnx.Rngs(0)
     encoder = build_encoder(rngs, dtype)
     if algo == "mae":
