@@ -45,6 +45,13 @@ def pytest_configure(config):
     if repo_root not in pythonpath:
         pythonpath.insert(0, repo_root)
     env["PYTHONPATH"] = ":".join(pythonpath)
+    # persistent compilation cache: CPU compiles dominate the suite's 40 min
+    # on this 1-core host; a warm cache cuts repeat runs to execution-only
+    # (the CLAUDE.md cache caveat is TPU-relay-only, same as the dryrun)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(repo_root, ".cache", "jax_tests"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.makedirs(env["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
     sys.stdout.flush()
     sys.stderr.flush()
     # run the real suite as a child sharing our (now uncaptured) stdio, then
