@@ -1,4 +1,5 @@
 """Callbacks: checkpoint/eval/tensorboard wiring on a tiny PPO run."""
+import pytest
 import os
 
 import numpy as np
@@ -19,6 +20,7 @@ def tiny_model():
     return build_model(config, env), env
 
 
+@pytest.mark.slow
 def test_checkpoint_and_eval_callbacks(tmp_path):
     model, env = tiny_model()
 

@@ -1,6 +1,7 @@
 """Geometry-aware forcefield stack: intrinsics, reprojection, pose, SSL step
 (reference utils_forcefield/ssl_utils.py:17-354, pose_estimator/,
 forcefield_sl.py:95-412)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -215,6 +216,7 @@ def test_photometric_grad_finite_on_identical_frames():
     assert np.isfinite(float(val)) and np.isfinite(float(grad)), (val, grad)
 
 
+@pytest.mark.slow
 def test_forcefield_grads_finite_with_duplicate_frames():
     """The forcefield-module arm of the duplicate-frame gradient canary
     (ADVICE r4): a window whose two frames are bit-identical (static sensor)

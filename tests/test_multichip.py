@@ -1,4 +1,5 @@
 """Multi-chip (8 virtual CPU devices) sharding tests."""
+import pytest
 import sys
 import os
 
@@ -60,6 +61,7 @@ def test_vit_zoo_param_sharding():
         assert all("mp" in s for s in specs), (name, specs)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_full_train_step():
     from __graft_entry__ import dryrun_multichip
 
@@ -74,6 +76,7 @@ def test_graft_entry_compiles():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_ssl_modules_train_on_dp_mesh():
     """Every SSL family runs a Trainer step on the dp mesh (VERDICT r1 weak
     #7: the global-batch loss path had only ever run single-device)."""
@@ -147,6 +150,7 @@ def test_ssl_trains_mp_sharded():
         assert "mp" in str(val.sharding.spec), val.sharding
 
 
+@pytest.mark.slow
 def test_sac_mae_trains_on_mesh():
     """SAC+MAE fused multi-step update with the DeviceReplayBuffer HBM ring
     runs on the dp x mp mesh to finite metrics (VERDICT r2 weak #4)."""

@@ -35,6 +35,7 @@ def make_model(**over):
     return build_model(config, env), env
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("separate", [False, True])
 def test_learn_smoke(separate):
     model, env = make_model(separate_optimizer=separate)
@@ -50,6 +51,7 @@ def test_learn_smoke(separate):
     assert m["n_updates_executed"] == model.n_epochs * model.n_minibatches
 
 
+@pytest.mark.slow
 def test_parameters_change_and_stay_finite():
     import jax
 
@@ -63,6 +65,7 @@ def test_parameters_change_and_stay_finite():
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(after))
 
 
+@pytest.mark.slow
 def test_kl_early_stop_executes_fewer_updates():
     model, env = make_model()
     model.target_kl = 1e-9  # force immediate stop
@@ -73,6 +76,7 @@ def test_kl_early_stop_executes_fewer_updates():
     assert metrics["n_updates_executed"] < model.n_epochs * model.n_minibatches
 
 
+@pytest.mark.slow
 def test_vision_only_control():
     model, env = make_model(vision_only_control=True)
     model.learn(total_timesteps=256)
@@ -91,6 +95,7 @@ def test_predict_deterministic():
     env.close()
 
 
+@pytest.mark.slow
 def test_state_dict_roundtrip():
     import jax
 

@@ -84,6 +84,7 @@ def test_touch_helpers():
     assert (empty == 0).all()
 
 
+@pytest.mark.slow
 def test_dp_sharded_update_matches_single_device():
     """GSPMD correctness: the fused PPO+MAE update on a 4-way dp mesh must
     produce (numerically close) identical metrics to the unsharded run."""

@@ -35,6 +35,7 @@ def test_ppo_save_load_roundtrip(tmp_path):
     env.close(); env2.close()
 
 
+@pytest.mark.slow
 def test_sac_save_load_roundtrip(tmp_path):
     cfg = sac_parser().parse_args(_argv(dict(env="FakeInsertion", n_envs=1, buffer_size=256, learning_starts=16,
                                              batch_size=16, mae_batch_size=8, dim_embedding=32, frame_stack=1,
@@ -52,6 +53,7 @@ def test_sac_save_load_roundtrip(tmp_path):
     env.close(); env2.close()
 
 
+@pytest.mark.slow
 def test_tp_sharded_update_matches_single_device():
     """Megatron-style mp=2 tensor parallelism must reproduce single-device
     update metrics (GSPMD TP correctness)."""
@@ -99,6 +101,7 @@ def test_restore_like_is_order_insensitive(tmp_path):
         restore_like(template, dict(pure, b=np.zeros((7,))))
 
 
+@pytest.mark.slow
 def test_ppo_cli_auto_resume(tmp_path, capsys):
     """--resume_from auto restores the newest usable checkpoint and continues
     (tunnel-crash recovery for long runs); a corrupted newest checkpoint is

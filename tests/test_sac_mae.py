@@ -36,6 +36,7 @@ def make_model(**over):
     return build_model(config, env), env
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("separate", [True, False])
 def test_sac_learn_smoke(separate):
     model, env = make_model(separate_optimizer=separate)
@@ -68,6 +69,7 @@ def test_sac_target_tracks_critic():
     assert all(np.isfinite(np.asarray(v)).all() for v in c1.values())
 
 
+@pytest.mark.slow
 def test_sac_fixed_ent_coef():
     model, env = make_model(ent_coef="0.2")
     model.learn(total_timesteps=48)
@@ -76,6 +78,7 @@ def test_sac_fixed_ent_coef():
     assert "ent_coef_loss" not in model.last_metrics
 
 
+@pytest.mark.slow
 def test_sac_auto_ent_coef_moves():
     model, env = make_model()
     e0 = float(np.exp(np.asarray([l for l in __import__('jax').tree.leaves(model.ent_params)])[0]))
@@ -120,6 +123,7 @@ def test_sac_predict_bounds():
     env.close()
 
 
+@pytest.mark.slow
 def test_sac_fused_multi_update_device_buffer():
     """G gradient steps fuse into one dispatch on the HBM ring and keep
     learning semantics: n_updates advances by G per train event, metrics are
