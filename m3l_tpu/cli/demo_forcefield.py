@@ -3,8 +3,15 @@ data/vision_based_interactive.py DemoForceFieldData parity).
 
 Captures frames from a DIGIT/GelSight-style sensor (any cv2 camera), runs
 the force-field decoder, and overlays the predicted normal map + shear
-quiver. Gated: with no camera (headless hosts) use ``--source file.mp4`` or
-``--source synthetic``.
+quiver. Gated: with no camera (headless hosts) use ``--source file.mp4``,
+``--source synthetic`` (moving blob, untrained-smoke only), or ``--source
+dataset`` (replay a fresh synthetic DIGIT trajectory from the training
+renderer). With ``--module_ckpt`` the demo restores a TRAINED
+GeometricForceFieldModule (a Trainer ``last.ckpt``, e.g.
+``runs/forcefield/ff_mae/last.ckpt``) and runs its two-pass
+``forward_fields`` exactly like the reference's live path: the background
+gel image is captured once at startup (vision_based_interactive.py:74-78)
+and concatenated into ``image_bg`` per frame (lines 158-162).
 """
 from __future__ import annotations
 
@@ -14,9 +21,39 @@ import time
 import numpy as np
 
 
+class _DatasetSource:
+    """Replay a synthetic DIGIT trajectory (same renderer the force-field
+    stack trains on); exposes the clean gel background like a real rig."""
+
+    def __init__(self, size: int, seed: int = 99):
+        from ..data.synthetic import synth_digit_trajectories
+
+        data = synth_digit_trajectories(2, 60, size=size, seed=seed)
+        self.frames = data["frames"]
+        self.tid = data["traj_id"]
+        self.bgs = data["bg_frames"]
+        self.i = 0
+
+    def read(self):
+        if self.i >= len(self.frames):
+            return False, None
+        f = self.frames[self.i]
+        self.i += 1
+        return True, np.ascontiguousarray(f[..., ::-1])  # RGB -> cv2 BGR
+
+    def background(self):
+        # self.i already points past the frame last read()
+        return np.ascontiguousarray(self.bgs[self.tid[max(self.i - 1, 0)]][..., ::-1])
+
+    def release(self):
+        pass
+
+
 def _open_source(source: str, size: int):
     import cv2
 
+    if source == "dataset":
+        return _DatasetSource(size)
     if source == "synthetic":
         rng = np.random.default_rng(0)
 
@@ -52,6 +89,45 @@ def overlay_field(frame: np.ndarray, field: np.ndarray, stride: int = 8) -> np.n
     return out
 
 
+def _build_module_structure(args, size: int):
+    """The experiment's GeometricForceFieldModule structure
+    (scripts/forcefield_experiment.py build_module), random-initialised."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from ..models.vit import VisionTransformer
+    from ..tasks import ForceFieldDecoder, GeometricForceFieldModule
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    rngs = nnx.Rngs(42)
+    enc = VisionTransformer(
+        img_size=(size, size),
+        patch_size=16,
+        in_chans=6,
+        embed_dim=args.dim,
+        depth=args.depth,
+        num_heads=args.heads,
+        pos_embed_fn="sinusoidal",
+        num_register_tokens=1,
+        dtype=dtype,
+        rngs=rngs,
+    )
+    hooks = tuple(int(h) for h in args.hooks.split(","))
+    dec = ForceFieldDecoder(enc, hooks=hooks, fusion_ch=args.fusion_ch, dtype=dtype, rngs=rngs)
+    return GeometricForceFieldModule(dec, dtype=dtype, rngs=rngs)
+
+
+def _build_trained_module(args, size: int):
+    """Rebuild the module structure and restore a Trainer full-state
+    ``last.ckpt`` (trainer.py _save: payload["model"] = nnx.state(module),
+    encoder included)."""
+    from ..train.checkpoint import load_checkpoint, restore_module_state
+
+    module = _build_module_structure(args, size)
+    restore_module_state(module, load_checkpoint(args.module_ckpt)["model"])
+    return module
+
+
 def main(argv=None):
     import jax.numpy as jnp
     from flax import nnx
@@ -61,40 +137,72 @@ def main(argv=None):
     from ..tasks.sl_module import load_encoder_from_checkpoint
 
     parser = argparse.ArgumentParser("m3l-tpu forcefield demo")
-    parser.add_argument("--source", type=str, default="synthetic", help="camera index, video file, or 'synthetic'")
-    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--source", type=str, default="synthetic", help="camera index, video file, 'synthetic', or 'dataset'")
+    parser.add_argument("--checkpoint", type=str, default=None, help="SSL encoder ckpt (untrained-decoder smoke path)")
+    parser.add_argument("--module_ckpt", type=str, default=None, help="trained GeometricForceFieldModule Trainer ckpt, e.g. runs/forcefield/ff_mae/last.ckpt")
     parser.add_argument("--encoder_type", type=str, default="mae")
-    parser.add_argument("--size", type=int, default=224)
+    parser.add_argument("--dim", type=int, default=192)
+    parser.add_argument("--depth", type=int, default=6)
+    parser.add_argument("--heads", type=int, default=3)
+    parser.add_argument("--hooks", type=str, default="1,3,4,5")
+    parser.add_argument("--fusion_ch", type=int, default=64)
+    parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--size", type=int, default=None, help="default: 96 with --module_ckpt / dataset source, else 224")
     parser.add_argument("--frames", type=int, default=30, help="frames to process (0 = until q)")
     parser.add_argument("--out", type=str, default=None, help="write annotated video here instead of a window")
     args = parser.parse_args(argv)
+    size = args.size or (96 if (args.module_ckpt or args.source == "dataset") else 224)
 
     import cv2
 
-    enc = vit_tiny(patch_size=16, img_size=(args.size, args.size), in_chans=6, pos_embed_fn="sinusoidal", rngs=nnx.Rngs(0))
-    dec = ForceFieldDecoder(enc, rngs=nnx.Rngs(1))
-    if args.checkpoint:
-        load_encoder_from_checkpoint(enc, args.checkpoint, args.encoder_type)
-    predict = nnx.jit(lambda d, x: d(x))
+    if args.module_ckpt:
+        module = _build_trained_module(args, size)
+        fields_fn = nnx.jit(lambda m, x, xb: m.forward_fields(x, xb))
+        scale_flow = float(module.scale_flow)
 
-    cap = _open_source(args.source, args.size)
+        def predict_field(frame_rgb, prev_rgb, bg_rgb):
+            # training format (data/synthetic.py forcefield_windows):
+            # image = [frame_0, frame_{-1}], image_bg = [frame_0, background]
+            x = np.concatenate([frame_rgb, prev_rgb], -1).astype(np.float32)[None] / 255.0
+            xb = np.concatenate([frame_rgb, bg_rgb], -1).astype(np.float32)[None] / 255.0
+            disp, shear = fields_fn(module, jnp.asarray(x), jnp.asarray(xb))
+            return np.concatenate([np.asarray(disp[0], np.float32), np.asarray(shear[0], np.float32) / scale_flow], -1)
+    else:
+        enc = vit_tiny(patch_size=16, img_size=(size, size), in_chans=6, pos_embed_fn="sinusoidal", rngs=nnx.Rngs(0))
+        dec = ForceFieldDecoder(enc, rngs=nnx.Rngs(1))
+        if args.checkpoint:
+            load_encoder_from_checkpoint(enc, args.checkpoint, args.encoder_type)
+        predict = nnx.jit(lambda d, x: d(x))
+
+        def predict_field(frame_rgb, prev_rgb, bg_rgb):
+            x = np.concatenate([prev_rgb, frame_rgb], axis=-1).astype(np.float32)[None] / 255.0
+            return np.asarray(predict(dec, jnp.asarray(x)))[0]
+
+    cap = _open_source(args.source, size)
     writer = None
     prev = None
+    bg = None
     n = 0
     try:
         while args.frames == 0 or n < args.frames:
             ok, frame = cap.read()
             if not ok:
                 break
-            frame = cv2.resize(frame, (args.size, args.size))
+            frame = cv2.resize(frame, (size, size))
             if prev is None:
                 prev = frame
-            x = np.concatenate([prev, frame], axis=-1).astype(np.float32)[None] / 255.0
-            field = np.asarray(predict(dec, jnp.asarray(x)))[0]
+            if hasattr(cap, "background"):
+                bg = cap.background()  # true clean gel bg, per-trajectory
+            elif bg is None:
+                # reference parity: background gel image captured once at
+                # startup (vision_based_interactive.py:74-78)
+                bg = frame
+            rgb = lambda f: f[..., ::-1]  # cv2 frames are BGR; the network trained on RGB
+            field = predict_field(rgb(frame), rgb(prev), rgb(bg))
             vis = overlay_field(frame, field)
             if args.out:
                 if writer is None:
-                    writer = cv2.VideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"), 15, (args.size, args.size))
+                    writer = cv2.VideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"), 15, (size, size))
                 writer.write(vis)
             else:
                 cv2.imshow("forcefield", vis)
