@@ -61,8 +61,9 @@ BACKOFF_S = 60
 # 367 (r4); the swing is host/relay contention noise, not model speed.
 # Re-measure with --baseline.
 REF_STYLE_BASELINE_FPS = 844.0
-# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip.
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16, 819 GB/s HBM per chip.
 PEAK_FLOPS_BF16 = 197e12
+PEAK_HBM_BPS = 819e9
 
 
 def supervise(argv: list[str]) -> int:
@@ -97,9 +98,12 @@ def supervise(argv: list[str]) -> int:
 
 
 def _mfu_from_cost_analysis(jitted, args, wall_time_s: float):
-    """Compiled-FLOPs MFU: XLA's flop count for ONE execution of the jitted
-    program / measured wall / chip bf16 peak. Returns (mfu, tflops) or
-    (None, None) if the backend exposes no cost analysis."""
+    """Compiled-FLOPs MFU + HBM-bandwidth utilization: XLA's flop count and
+    bytes-accessed estimate for ONE execution of the jitted program /
+    measured wall / chip peaks. At this workload's size (dim 256, depth 4)
+    the update is memory-bound — tiny per-token matmuls can't amortize HBM
+    traffic — so hbm_util, not MFU, is the speed-of-light reference.
+    Returns (mfu, tflops, hbm_util); Nones if no cost analysis."""
     try:
         compiled = jitted.lower(*args).compile()
         ca = compiled.cost_analysis()
@@ -107,11 +111,13 @@ def _mfu_from_cost_analysis(jitted, args, wall_time_s: float):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         if flops <= 0:
-            return None, None
-        return flops / wall_time_s / PEAK_FLOPS_BF16, flops / wall_time_s / 1e12
+            return None, None, None
+        bytes_accessed = float(ca.get("bytes accessed", 0.0))
+        hbm_util = bytes_accessed / wall_time_s / PEAK_HBM_BPS if bytes_accessed > 0 else None
+        return flops / wall_time_s / PEAK_FLOPS_BF16, flops / wall_time_s / 1e12, hbm_util
     except Exception as e:  # cost analysis is best-effort; never void the bench
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
-        return None, None
+        return None, None, None
 
 
 def main(full: bool = False, baseline: bool = False):
@@ -234,7 +240,7 @@ def main(full: bool = False, baseline: bool = False):
     fused_fps = samples_per_update * FRAME_STACK / fused_time
 
     print(f"# [{time.strftime('%H:%M:%S')}] computing compiled-FLOPs MFU...", file=sys.stderr)
-    mfu, tflops = _mfu_from_cost_analysis(
+    mfu, tflops, hbm_util = _mfu_from_cost_analysis(
         model._train_phase,
         (model.mae_params, model.other_params, model.policy_opt_state, model.mae_opt_state,
          data, rewards, ep_starts, last_values, last_dones, jax.random.PRNGKey(0)),
@@ -242,6 +248,8 @@ def main(full: bool = False, baseline: bool = False):
     )
     if mfu is not None:
         print(f"# MFU {mfu:.3f} ({tflops:.1f} TFLOP/s of {PEAK_FLOPS_BF16 / 1e12:.0f} peak)", file=sys.stderr)
+    if hbm_util is not None:
+        print(f"# HBM util {hbm_util:.3f} (of {PEAK_HBM_BPS / 1e9:.0f} GB/s peak)", file=sys.stderr)
 
     # ------------------------------------------------------------------ #
     # 2) reference-style baseline: pinned by default (see module docstring);
@@ -259,6 +267,7 @@ def main(full: bool = False, baseline: bool = False):
                     "unit": "frames/s/chip",
                     "vs_baseline": None,
                     "mfu": None if mfu is None else round(mfu, 4),
+                    "hbm_util": None if hbm_util is None else round(hbm_util, 4),
                 }
             )
         )
@@ -272,6 +281,7 @@ def main(full: bool = False, baseline: bool = False):
                     "unit": "frames/s/chip",
                     "vs_baseline": round(fused_fps / REF_STYLE_BASELINE_FPS, 3),
                     "mfu": None if mfu is None else round(mfu, 4),
+                    "hbm_util": None if hbm_util is None else round(hbm_util, 4),
                 }
             )
         )
@@ -371,6 +381,7 @@ def main(full: bool = False, baseline: bool = False):
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fused_fps / ref_fps, 3),
                 "mfu": None if mfu is None else round(mfu, 4),
+                "hbm_util": None if hbm_util is None else round(hbm_util, 4),
             }
         )
     )

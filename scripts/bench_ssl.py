@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from m3l_tpu.models import vit_base, vit_small
+from m3l_tpu.models import vit_base, vit_large, vit_small
 from m3l_tpu.ssl import MAEModule
 
 INNER_DEFAULT = 10
@@ -35,19 +35,30 @@ BATCH = 64  # reference mae_vit.yaml batch; override with --batch for smokes
 
 
 def build(model: str, decode_masked_only: bool, flat: bool) -> tuple[MAEModule, "nnx.Optimizer"]:
-    factory = {"small": vit_small, "base": vit_base}[model]
-    enc = factory(img_size=(224, 224), in_chans=6, pos_embed_fn="sinusoidal", dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
-    mae = MAEModule(
-        enc,
-        mask_ratio=0.75,
-        decode_masked_only=decode_masked_only,
-        dtype=jnp.bfloat16,
-        rngs=nnx.Rngs(1),
-    )
-    if flat:
-        mae._flat_optimizer = True  # opt-in only: measured slower than optax for SSL (round 4)
-    tx = mae.configure_optimizer(1000, 200)
-    opt = nnx.Optimizer(mae, tx, wrt=mae.trainable_filter)
+    import contextlib
+
+    # Eager nnx construction issues one remote compile per init-op shape on
+    # the relayed TPU — ~minutes for ViT-large. Init on the host CPU backend
+    # when available (run with JAX_PLATFORMS=axon,cpu) and let the first
+    # jitted step transfer the params; numerics are identical.
+    try:
+        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except Exception:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        factory = {"small": vit_small, "base": vit_base, "large": vit_large}[model]
+        enc = factory(img_size=(224, 224), in_chans=6, pos_embed_fn="sinusoidal", dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+        mae = MAEModule(
+            enc,
+            mask_ratio=0.75,
+            decode_masked_only=decode_masked_only,
+            dtype=jnp.bfloat16,
+            rngs=nnx.Rngs(1),
+        )
+        if flat:
+            mae._flat_optimizer = True  # opt-in only: measured slower than optax for SSL (round 4)
+        tx = mae.configure_optimizer(1000, 200)
+        opt = nnx.Optimizer(mae, tx, wrt=mae.trainable_filter)
     return mae, opt
 
 
