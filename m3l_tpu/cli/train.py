@@ -84,9 +84,34 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--compute_dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     parser.add_argument("--subproc", type=str2bool, default=True)
+    parser.add_argument(
+        "--mesh_devices", type=int, default=1,
+        help="shard training over an N-device GSPMD mesh (the reference's Fabric devices=N DDP launch); 0 = all visible devices, 1 = single-chip",
+    )
+    parser.add_argument(
+        "--mesh_mp", type=int, default=1,
+        help="Megatron-style tensor-parallel degree within the mesh (mesh = dp x mp)",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     parser.add_argument("--tensorboard_dir", type=str, default=None, help="enable TensorBoard logging")
     return parser
+
+
+def build_mesh(config):
+    """CLI equivalent of the reference's multi-GPU launch (Lightning Fabric
+    ``devices=N`` DDP, SURVEY.md §2.7): returns an N-device ``Mesh`` (dp x mp)
+    the algorithm shards params/batches over, or None for single-chip."""
+    n = getattr(config, "mesh_devices", 1)
+    mp = getattr(config, "mesh_mp", 1)
+    if n == 1 and mp == 1:
+        return None
+    import jax
+
+    from ..train.mesh import make_mesh
+
+    if n == 0:
+        n = len(jax.devices())
+    return make_mesh(n, mp=mp)
 
 
 def build_model(config, env):
@@ -148,6 +173,7 @@ def build_model(config, env):
         train_mae=config.representation,
         norm_reward=config.norm_reward,
         frame_stack=config.frame_stack,
+        mesh=build_mesh(config),
         seed=config.seed,
         verbose=config.verbose,
     )

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from .train import str2bool
+from .train import build_mesh, str2bool
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--device_buffer", type=str2bool, default=False, help="keep the replay ring in device HBM (no per-gradient-step host->device batch copy)")
     parser.add_argument("--timeout_capacity", type=int, default=4096, help="device-buffer truncated-episode side-ring slots; raise for large rings with short episodes")
     parser.add_argument("--subproc", type=str2bool, default=True)
+    parser.add_argument(
+        "--mesh_devices", type=int, default=1,
+        help="shard training over an N-device GSPMD mesh (the reference's Fabric devices=N DDP launch); 0 = all visible devices, 1 = single-chip",
+    )
+    parser.add_argument(
+        "--mesh_mp", type=int, default=1,
+        help="Megatron-style tensor-parallel degree within the mesh (mesh = dp x mp)",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     parser.add_argument("--tensorboard_dir", type=str, default=None, help="enable TensorBoard logging")
     return parser
@@ -133,6 +141,7 @@ def build_model(config, env):
         device_buffer=config.device_buffer,
         timeout_capacity=config.timeout_capacity,
         frame_stack=config.frame_stack,
+        mesh=build_mesh(config),
         seed=config.seed,
         verbose=config.verbose,
     )

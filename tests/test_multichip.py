@@ -184,3 +184,55 @@ def test_sac_mae_trains_on_mesh():
             assert np.isfinite(metrics[k]), metrics
     finally:
         env.close()
+
+
+def test_cli_mesh_flags_shard_params():
+    """--mesh_devices/--mesh_mp on the train CLIs replace the reference's
+    Fabric devices=N multi-GPU launch (reference train.py DDP via SB3/Fabric,
+    SURVEY.md §2.7): the parsed flags build the GSPMD mesh inside build_model
+    and params come out mp-sharded with no library code."""
+    from flax import nnx
+
+    from m3l_tpu.cli.train import build_model, build_parser
+    from m3l_tpu.envs import SyncVecEnv, make_env
+
+    argv = []
+    for k, v in dict(env="FakeInsertion", n_envs=2, rollout_length=16, batch_size=8,
+                     ppo_epochs=1, dim_embedding=64, frame_stack=1, mae_batch_size=4,
+                     compute_dtype="float32", subproc=False, verbose=0,
+                     mesh_devices=8, mesh_mp=2).items():
+        argv += [f"--{k}", str(v)]
+    config = build_parser().parse_args(argv)
+    env = SyncVecEnv([make_env(config.env, i, 0, config.state_type, frame_stack=1) for i in range(2)])
+    try:
+        model = build_model(config, env)
+        assert model.mesh is not None and dict(model.mesh.shape) == {"dp": 4, "mp": 2}
+        flat = nnx.to_flat_state(model.mae_params)
+        qkv = [v for k, v in flat if "to_qkv" in "/".join(map(str, k)) and "kernel" in "/".join(map(str, k))]
+        assert qkv
+        for var in qkv:
+            val = var.get_value() if hasattr(var, "get_value") else var
+            assert "mp" in str(val.sharding.spec), val.sharding
+    finally:
+        env.close()
+
+
+def test_cli_mesh_flags_sac():
+    """Same flags on the SAC CLI; default (--mesh_devices 1) stays single-chip."""
+    from m3l_tpu.cli.train import build_mesh
+    from m3l_tpu.cli.train_sacmae import build_model, build_parser
+    from m3l_tpu.envs import SyncVecEnv, make_env
+
+    base = dict(env="FakeInsertion", n_envs=2, dim_embedding=64, frame_stack=1,
+                buffer_size=64, batch_size=8, compute_dtype="float32",
+                subproc=False, verbose=0)
+    assert build_mesh(build_parser().parse_args(
+        [a for k, v in base.items() for a in (f"--{k}", str(v))])) is None
+    argv = [a for k, v in {**base, "mesh_devices": 8, "mesh_mp": 2}.items() for a in (f"--{k}", str(v))]
+    config = build_parser().parse_args(argv)
+    env = SyncVecEnv([make_env(config.env, i, 0, config.state_type, frame_stack=1) for i in range(2)])
+    try:
+        model = build_model(config, env)
+        assert model.mesh is not None and dict(model.mesh.shape) == {"dp": 4, "mp": 2}
+    finally:
+        env.close()
